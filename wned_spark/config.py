@@ -1,0 +1,90 @@
+"""Pipeline configuration.
+
+Constants pinned to the reference where the semantics carry over
+(citations are file:line into /root/reference):
+
+- PPR: alpha=0.85, max 3 iterations, L1 delta < 1e-5
+  (``graph/algorithms/PersonalizedPageRank.java:27-30``).
+- Candidate caps: top-20 by prior, prior thresholds 0.005 (link source)
+  / 0.001 (other), post-merge floor 2e-5
+  (``cs/CandidateSelectionLucene.java:38,42``, ``utils/CSUtils.java:34,190``).
+- Fuzzy-match gate: Jaro-Winkler >= 0.8 (``utils/CSUtils.java:53-78``).
+- ZeroKL constants: eps=1e-6, gamma=10 (``utils/similarity/VectorSimilarity.java:87-104``).
+- Rank combination weights: priorWeight=0.08, localWeight=0.1
+  (``el.config:20-23``; note the reference's MULTIPLY scheme silently
+  falls back to LINEAR because the parser matches the string
+  "MULTIPLE" — ``config/WNEDConfig.java:175`` — so LINEAR is what the
+  shipped config actually runs, and LINEAR is our default).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    # --- candidate selection (J1/W1/F4/F5) ---
+    top_k_candidates: int = 20
+    prior_threshold_link: float = 0.005
+    prior_threshold_other: float = 0.001
+    prior_floor: float = 2e-5
+
+    # --- blocking (J2) ---
+    minhash_num_hashes: int = 16
+    minhash_band_size: int = 4  # 4 bands of 4 → catches Jaccard ~0.5+
+    shingle_size: int = 2
+    # token block keys with more rows than this are re-salted / dropped
+    # as uninformative (Zipf-head stopword-like tokens)
+    max_block_size: int = 200
+    jw_gate: float = 0.8  # CSUtils.java:53-78
+
+    # --- PPR semantic signatures (G3/G5) ---
+    ppr_alpha: float = 0.85
+    ppr_max_iter: int = 3
+    ppr_tol: float = 1e-5
+    # the reference stops at min(L1 delta < 1e-5, 3 iterations) and 3
+    # iterations dominates in practice (WeightedPersonalizedPageRank.java:211-216);
+    # the delta check costs a full-outer join per iteration, so it is
+    # off by default and available for convergence tests
+    ppr_check_delta: bool = False
+    cooccur_window_turns: int = 8  # analog of the <=1000-char window,
+    # WikiGraphExtractor.java:70-77
+    degree_floor: int = 0  # SubGraphGenerator.java:30-31 uses 200/600 on
+    # Wikipedia-scale graphs; 0 disables for small synthetic graphs
+
+    # --- ZeroKL (R7) ---
+    kl_eps: float = 1e-6
+    kl_gamma: float = 10.0
+
+    # --- scoring / decision (R1) ---
+    prior_weight: float = 0.08  # el.config:21
+    local_weight: float = 0.10  # el.config:22
+    # remaining mass goes to the semantic + name-string block
+    match_threshold: float = 0.62
+    # SoftTFIDF inner-match threshold (theta) and the decision gate on
+    # the name_soft feature itself: a pair is a match only if the
+    # combined score passes AND the discriminative-token alignment does
+    # (mirrors the reference's JW >= 0.8 fuzzy-candidate gate,
+    # CSUtils.java:53-78, strengthened to SoftTFIDF)
+    soft_theta: float = 0.90
+    soft_gate: float = 0.85
+    feature_weights: dict = field(
+        default_factory=lambda: {
+            # LINEAR rank combination generalized to the pair-scoring
+            # feature family (Feature.java:40-164 recast for pairs)
+            "name_jw": 0.10,
+            "name_soft": 0.35,
+            "name_dice": 0.10,
+            "name_lev": 0.05,
+            "sig_cosine": 0.20,
+            "ctx_cosine": 0.07,
+            "shared_prior": 0.13,
+        }
+    )
+
+    # --- connected components (G8) ---
+    cc_max_iter: int = 20
+
+    # --- checkpointing ---
+    checkpoint_dir: str = "/tmp/wned_spark_checkpoints"

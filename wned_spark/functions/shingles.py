@@ -1,0 +1,60 @@
+"""Character shingles + MinHash — pure Catalyst expressions.
+
+Replaces the reference's Lucene character-bigram fuzzy index
+(``common/indexing/AliasLuceneIndex.java:247-300``) with MinHash-LSH
+band keys computed entirely JVM-side: shingling via ``sequence`` +
+``substring`` higher-order transforms, per-permutation min-hash via
+``array_min(transform(shingles, xxhash64(., seed_i)))``, band keys via
+``xxhash64`` over the concatenated band slice. No UDFs, no Spark-ML
+vector assembly — the whole blocking-key computation stays inside
+whole-stage codegen, which is what survives a 100 TB scan.
+
+Seeds are pinned constants → deterministic across runs and parallelism
+levels (required for the fixed-blocking-key F1 gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def char_shingles(col: Column, n: int = 2, distinct: bool = True) -> Column:
+    """Array of character n-grams of a string column (JVM-side).
+
+    shingles(s) = [ substring(s, i+1, n) | i <- 0 .. len(s)-n ]
+    Short strings (< n chars) yield the string itself as one shingle.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.length(col) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: col.substr(i + 1, F.lit(n)))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of ``num_hashes`` min-hash values: element h is
+    min(xxhash64(shingle, seed_h)) over the shingle set. Empty shingle
+    arrays hash to a sentinel derived from the seed so they still block
+    deterministically (only with other empties)."""
+    sigs = [
+        F.coalesce(
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(1000003 + i)))),
+            F.lit(-(1000003 + i)),
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_band_keys(signature: Column, num_hashes: int = 16, band_size: int = 4) -> Column:
+    """LSH band keys: split the signature into bands of ``band_size``
+    rows; each band key = xxhash64(band_index, sig[b..b+r)). Two strings
+    share a band key iff a whole band of min-hashes agrees — the
+    standard S-curve collision profile."""
+    n_bands = num_hashes // band_size
+    keys = []
+    for b in range(n_bands):
+        parts = [F.lit(b)] + [
+            F.element_at(signature, b * band_size + j + 1) for j in range(band_size)
+        ]
+        keys.append(F.xxhash64(*parts))
+    return F.array(*keys)

@@ -1,0 +1,89 @@
+"""Candidate selection: alias dictionary join + priors + top-K pruning.
+
+Replaces the Lucene alias-index probe path
+(``cs/CandidateSelectionLucene.java:90-151``) with declarative joins:
+
+- J1: mentions ⋈ alias_dict equi-join on the normalized surface
+  (broadcast when the dictionary is small; at 100 TB the dictionary is
+  still the small side — alias universes are millions of rows, not
+  billions — so the broadcast survives scale-up; fall back to a salted
+  sort-merge join only if it doesn't fit).
+- A2: prior = freq / sum(freq) per alias (``CandidateSelectionLucene.java:119-124``).
+- F4: per-source prior thresholds (link: 0.005, other: 0.001,
+  ``CandidateSelectionLucene.java:38,128-131``).
+- W1: top-20 candidates per mention by prior, deterministic tiebreak
+  on entity_id (``CandidateSelectionLucene.java:42,134-151`` — the Rank
+  comparator is descending, ``utils/Rank.java:28-36``).
+- F5: post-prune prior floor 2e-5 (``utils/CSUtils.java:190-199``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wned_spark.config import ERConfig
+from wned_spark.functions.normalize import norm_surface
+
+
+def build_alias_dict(alias_raw: DataFrame) -> DataFrame:
+    """alias_raw(entity_id, alias, source, freq) →
+    alias_dict(alias_norm, entity_id, source, freq, prior).
+
+    Duplicate (alias, entity, source) rows are freq-summed first (the
+    A1 sort|uniq-c the reference runs between KBExtractor and the index
+    build — SURVEY.md §3.3 note), then priors normalized per alias (A2).
+    """
+    agg = (
+        alias_raw.withColumn("alias_norm", norm_surface(F.col("alias")))
+        .groupBy("alias_norm", "entity_id", "source")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    w = Window.partitionBy("alias_norm")
+    return agg.withColumn("prior", F.col("freq") / F.sum("freq").over(w))
+
+
+def select_candidates(
+    mentions: DataFrame, alias_dict: DataFrame, cfg: ERConfig = ERConfig()
+) -> DataFrame:
+    """mentions(mention_id, surface_norm|canon_norm, ...) ⋈ alias_dict →
+    candidates(mention_id, entity_id, source, prior) with F4/W1/F5 pruning.
+    """
+    key = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+    joined = mentions.join(
+        F.broadcast(alias_dict),
+        mentions[key] == alias_dict["alias_norm"],
+        "inner",
+    )
+    # F4: per-source thresholds
+    gated = joined.filter(
+        F.when(F.col("source") == "link", F.col("prior") > cfg.prior_threshold_link)
+        .otherwise(F.col("prior") > cfg.prior_threshold_other)
+    )
+    # W1: top-K by prior, descending, deterministic tiebreak
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("prior"), F.asc("entity_id"), F.asc("source")
+    )
+    ranked = gated.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= cfg.top_k_candidates
+    )
+    # F5: prior floor
+    return (
+        ranked.filter(F.col("prior") >= cfg.prior_floor)
+        .select("mention_id", "entity_id", "source", "prior")
+    )
+
+
+def prior_argmax_linking(
+    mentions: DataFrame, alias_dict: DataFrame, cfg: ERConfig = ERConfig()
+) -> DataFrame:
+    """The PriorProbEL baseline (``experiment/PriorProbEL.java:72-174``):
+    link every mention to its max-prior candidate. The minimum
+    end-to-end slice — everything downstream improves on this."""
+    cands = select_candidates(mentions, alias_dict, cfg)
+    w = Window.partitionBy("mention_id").orderBy(F.desc("prior"), F.asc("entity_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("mention_id", F.col("entity_id").alias("linked_entity_id"), "prior")
+    )

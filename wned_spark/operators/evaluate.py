@@ -1,0 +1,44 @@
+"""Evaluation: pairwise precision / recall / F1 (A8).
+
+The reference's harness computes micro/macro mention-accuracy against
+gold XML (``experiment/Evaluation.java:57-161``); per BASELINE.json the
+rebuild evaluates PAIRWISE over labeled pairs at the fixed blocking
+key: predicted-match = same predicted cluster; gold-match = same gold
+entity. Micro counts, same correct/found/query arithmetic as
+``Evaluation.java:154-160`` recast to TP/FP/FN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_pairs(pairs: DataFrame, gold_mentions_keyed: DataFrame) -> DataFrame:
+    """pairs(left_id, right_id) ⋈ gold entity per side →
+    + is_match column (F5). gold_mentions_keyed: (mention_id, entity_id)."""
+    gl = gold_mentions_keyed.select(
+        F.col("mention_id").alias("left_id"), F.col("entity_id").alias("ent_l")
+    )
+    gr = gold_mentions_keyed.select(
+        F.col("mention_id").alias("right_id"), F.col("entity_id").alias("ent_r")
+    )
+    return (
+        pairs.join(gl, "left_id")
+        .join(gr, "right_id")
+        .withColumn("is_match", F.col("ent_l") == F.col("ent_r"))
+    )
+
+
+def pairwise_prf(labeled: DataFrame, predicted_col: str = "predicted") -> dict:
+    """labeled(is_match, <predicted_col>) → {precision, recall, f1, tp, fp, fn}."""
+    row = labeled.agg(
+        F.sum(F.when(F.col(predicted_col) & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col(predicted_col) & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col(predicted_col) & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+    ).first()
+    tp, fp, fn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}

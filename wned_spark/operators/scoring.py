@@ -1,0 +1,165 @@
+"""Pairwise feature scoring + rank combination (R1-R4, R15, J7/J8, A6).
+
+Feature family mirrors the reference's four-feature candidate scoring
+(``utils/Feature.java:20-38``: prior, local, semSim, nameSim) recast
+for mention PAIRS:
+
+- name_jw / name_lev / name_dice — the nameSim block (StringSim.java),
+  computed once per DISTINCT surface pair and joined back to mention
+  pairs (a huge dedup at scale: Zipf surface distribution means a few
+  thousand distinct pairs cover millions of mention pairs);
+- sig_cosine — semSim: PPR semantic-signature similarity (J7/J8);
+- shared_prior — prior: max over shared candidate entities of
+  min(prior_l, prior_r) (J1-derived);
+- score — LINEAR rank combination over configured weights
+  (Feature.java:40-62; the reference's shipped config resolves to
+  LINEAR, see config.py note), renormalized over present features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wned_spark.config import ERConfig
+from wned_spark.functions.shingles import char_shingles
+from wned_spark.functions.similarity import bigram_dice, jaro_winkler, jaro_winkler_udf, levenshtein_norm
+
+
+def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
+    """(left_norm, right_norm) distinct pairs → string features.
+
+    Levenshtein + Dice stay JVM-side; Jaro-Winkler is the one
+    Arrow-batched pandas UDF (R3 has no Catalyst builtin).
+    """
+    n = cfg.shingle_size
+    soft = make_soft_tfidf_udf(surface_pairs, theta=cfg.soft_theta)
+    return surface_pairs.select(
+        "left_norm",
+        "right_norm",
+        jaro_winkler_udf(F.col("left_norm"), F.col("right_norm")).alias("name_jw"),
+        # SoftTFIDF (Cohen et al.; the reference ships it too —
+        # StringSim.java:105-160): IDF-weighted directional token
+        # alignment with a JW>=theta inner gate and initial-expansion
+        # ("q." matches "quinn"). THE discriminative name feature:
+        # generic tokens ("Labs", "Industries") carry low IDF, dropped
+        # tokens (initial/surname-only variants) cost nothing in the
+        # max-direction, and a non-matching surname zeroes the score.
+        soft(F.col("left_norm"), F.col("right_norm")).alias("name_soft"),
+        levenshtein_norm(F.col("left_norm"), F.col("right_norm")).alias("name_lev"),
+        bigram_dice(
+            char_shingles(F.col("left_norm"), n),
+            char_shingles(F.col("right_norm"), n),
+        ).alias("name_dice"),
+    )
+
+
+def make_soft_tfidf_udf(surface_pairs: DataFrame, theta: float = 0.9):
+    """Build an Arrow-batched SoftTFIDF UDF with IDF weights computed
+    from the distinct surfaces of the pair set.
+
+    soft(A,B) = max over directions of
+        sum_{t in A, best_jw(t,B) >= theta} idf(t) * best_jw(t, B)
+        / sum_{t in A} idf(t)
+    Single-letter tokens match any token sharing their first letter
+    (initial expansion, R10-lite). idf(t) = ln(1 + N/df(t)) with df =
+    number of distinct surfaces containing t.
+
+    The IDF dictionary is tiny even at 100 TB input (vocabulary of
+    distinct name tokens), so it collects to the driver and ships in
+    the UDF closure as a broadcast-sized dict.
+    """
+    import math
+    import re
+
+    surfaces = (
+        surface_pairs.select(F.col("left_norm").alias("s"))
+        .union(surface_pairs.select(F.col("right_norm").alias("s")))
+        .distinct()
+    )
+    toks = surfaces.select(
+        "s",
+        F.explode(F.filter(F.split(F.col("s"), r"[\s\.]+"), lambda t: t != "")).alias("tok"),
+    ).distinct()
+    df_rows = toks.groupBy("tok").agg(F.countDistinct("s").alias("df")).collect()
+    n_surfaces = max(1, surfaces.count())
+    idf = {r["tok"]: math.log(1.0 + n_surfaces / r["df"]) for r in df_rows}
+    default_idf = math.log(1.0 + n_surfaces)
+
+    def _tokens(s: str) -> list[str]:
+        return [t for t in re.split(r"[\s\.]+", s) if t]
+
+    def _direction(ta: list[str], tb: list[str]) -> float:
+        num = den = 0.0
+        for t in ta:
+            w = idf.get(t, default_idf)
+            den += w
+            best = 0.0
+            for b in tb:
+                if len(t) == 1 or len(b) == 1:
+                    sim = 1.0 if (t and b and t[0] == b[0]) else 0.0
+                else:
+                    sim = jaro_winkler(t, b)
+                if sim > best:
+                    best = sim
+            if best >= theta:
+                num += w * best
+        return num / den if den else 0.0
+
+    @F.pandas_udf(T.DoubleType())
+    def soft_tfidf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            x, y = a.iloc[i], b.iloc[i]
+            if not isinstance(x, str) or not isinstance(y, str):
+                out[i] = 0.0
+                continue
+            ta, tb = _tokens(x), _tokens(y)
+            out[i] = max(_direction(ta, tb), _direction(tb, ta))
+        return pd.Series(out)
+
+    return soft_tfidf
+
+
+def shared_prior_feature(pairs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """prior feature per mention pair: max over common candidate
+    entities of min(prior_l, prior_r); 0 when no shared candidate."""
+    cl = candidates.select(
+        F.col("mention_id").alias("left_id"),
+        "entity_id",
+        F.col("prior").alias("prior_l"),
+    )
+    cr = candidates.select(
+        F.col("mention_id").alias("right_id"),
+        "entity_id",
+        F.col("prior").alias("prior_r"),
+    )
+    shared = (
+        pairs.select("left_id", "right_id")
+        .join(cl, "left_id")
+        .join(cr, ["right_id", "entity_id"])
+        .groupBy("left_id", "right_id")
+        .agg(F.max(F.least("prior_l", "prior_r")).alias("shared_prior"))
+    )
+    return (
+        pairs.select("left_id", "right_id")
+        .join(shared, ["left_id", "right_id"], "left")
+        .na.fill({"shared_prior": 0.0})
+    )
+
+
+def combine_scores(
+    features: DataFrame, cfg: ERConfig = ERConfig()
+) -> DataFrame:
+    """LINEAR rank combination (R1), weights renormalized over the
+    feature columns actually present."""
+    present = {k: w for k, w in cfg.feature_weights.items() if k in features.columns}
+    total = sum(present.values())
+    expr = None
+    for k, w in present.items():
+        term = F.coalesce(F.col(k), F.lit(0.0)) * (w / total)
+        expr = term if expr is None else expr + term
+    return features.withColumn("score", expr)

@@ -1,0 +1,89 @@
+"""TF-IDF document-term weights + long-form cosine (A3/A4/R6).
+
+Replaces the reference's Lucene term-vector index + in-heap context
+vectors (``common/indexing/TFIDF3x.java:128-228``,
+``graph/similarity/context/MentionContext.java:32-91``) with a plain
+``(doc, term, weight)`` DataFrame.
+
+Formula pinned to Lucene DefaultSimilarity as the reference uses it
+(TFIDF3x.java:128-178): tf = sqrt(freq), idf = 1 + ln(N / (df + 1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
+    """Whitespace+punct tokenizer, lowercased, empty tokens dropped —
+    one explode, fully JVM-side (Tokenizer.java:243-305 minus stopword
+    machinery, which callers add as a filter)."""
+    return df.select(
+        *id_cols,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+
+
+def doc_term_weights(tokens: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """(doc, term) rows → (doc, term, tf, df, tfidf). A3 + A4."""
+    tf = tokens.groupBy(doc_col, "term").agg(F.count("*").alias("freq"))
+    n_docs = tokens.select(doc_col).distinct().count()
+    df_ = tf.groupBy("term").agg(F.countDistinct(doc_col).alias("df"))
+    return (
+        tf.join(df_, "term")
+        .select(
+            doc_col,
+            "term",
+            F.sqrt(F.col("freq")).alias("tf"),
+            "df",
+            (
+                F.sqrt(F.col("freq"))
+                * (1.0 + F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def pairwise_cosine(
+    pairs: DataFrame, weights: DataFrame, doc_col: str = "doc",
+    left_col: str = "left_doc", right_col: str = "right_doc",
+    out_col: str = "ctx_cosine",
+) -> DataFrame:
+    """Long-form sparse cosine between document vectors for given pairs
+    (R6 as join+agg; norms precomputed once)."""
+    from wned_spark.functions.similarity import cosine_expr
+
+    norms = weights.groupBy(doc_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm")
+    )
+    wa = weights.select(
+        F.col(doc_col).alias(left_col), "term", F.col("tfidf").alias("wa")
+    )
+    wb = weights.select(
+        F.col(doc_col).alias(right_col), "term", F.col("tfidf").alias("wb")
+    )
+    dots = (
+        pairs.join(wa, left_col)
+        .join(wb, [right_col, "term"])
+        .groupBy(left_col, right_col)
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(doc_col).alias(left_col), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(doc_col).alias(right_col), F.col("norm").alias("norm_b"))
+    return (
+        pairs.join(dots, [left_col, right_col], "left")
+        .na.fill({"dot": 0.0})
+        .join(na, left_col)
+        .join(nb, right_col)
+        .select(
+            left_col,
+            right_col,
+            cosine_expr(F.col("dot"), F.col("norm_a"), F.col("norm_b")).alias(out_col),
+        )
+    )
