@@ -1,0 +1,126 @@
+"""Unit tests for normalizers, similarity kernels, shingles/minhash.
+
+Pinned-constant parity cases per SURVEY.md §2.7 (R2-R4, R7-R9, R13, R15).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wned_spark.functions.normalize import norm_surface, norm_whitespace_lower
+from wned_spark.functions.shingles import char_shingles, minhash_band_keys, minhash_signature
+from wned_spark.functions.similarity import (
+    bigram_dice,
+    jaro_winkler,
+    jaro_winkler_udf,
+    levenshtein_norm,
+    make_zero_kl_udf,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+# ---------------- R9 / R8 ----------------
+def test_norm_whitespace_lower(spark):
+    df = spark.createDataFrame([Row(s="  Foo   BAR  baz ")])
+    assert df.select(norm_whitespace_lower(F.col("s")).alias("v")).first()["v"] == "foo bar baz"
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Dr. Alice Gardenbar", "alice gardenbar"),
+        ("Mr.  John   Smith", "john smith"),
+        ("Acme Widgets Inc.", "acme widgets"),
+        ("Foo Ltd", "foo"),
+        ("Prof. X", "x"),
+    ],
+)
+def test_norm_surface_honorifics(spark, raw, expected):
+    df = spark.createDataFrame([Row(s=raw)])
+    assert df.select(norm_surface(F.col("s")).alias("v")).first()["v"] == expected
+
+
+# ---------------- R2 ----------------
+def test_levenshtein_norm(spark):
+    df = spark.createDataFrame([Row(a="kitten", b="sitting")])
+    v = df.select(levenshtein_norm(F.col("a"), F.col("b")).alias("v")).first()["v"]
+    assert abs(v - (1 - 3 / 7)) < 1e-12
+
+
+def test_levenshtein_norm_empty(spark):
+    df = spark.createDataFrame([Row(a="", b="")])
+    assert df.select(levenshtein_norm(F.col("a"), F.col("b")).alias("v")).first()["v"] == 1.0
+
+
+# ---------------- R3 ----------------
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("MARTHA", "MARHTA", 0.9611111111111111),
+        ("DIXON", "DICKSONX", 0.8133333333333332),
+        ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+        ("abc", "abc", 1.0),
+        ("abc", "", 0.0),
+    ],
+)
+def test_jaro_winkler_known_values(a, b, expected):
+    assert abs(jaro_winkler(a, b) - expected) < 1e-9
+
+
+def test_jaro_winkler_udf_matches_python(spark):
+    rows = [Row(a="alice gardenbar", b="a. gardenbar"), Row(a="foo", b="bar")]
+    df = spark.createDataFrame(rows)
+    got = df.select(jaro_winkler_udf(F.col("a"), F.col("b")).alias("v")).collect()
+    for r, row in zip(got, rows):
+        assert abs(r["v"] - jaro_winkler(row.a, row.b)) < 1e-12
+
+
+# ---------------- R4/R15 ----------------
+def test_bigram_dice(spark):
+    df = spark.createDataFrame([Row(a="night", b="nacht")])
+    v = df.select(
+        bigram_dice(
+            char_shingles(F.col("a"), 2), char_shingles(F.col("b"), 2)
+        ).alias("v")
+    ).first()["v"]
+    # distinct bigrams: night={ni,ig,gh,ht}, nacht={na,ac,ch,ht} → inter={ht}
+    assert abs(v - 2 * 1 / 8) < 1e-12
+
+
+# ---------------- R7 (pinned constants eps=1e-6, gamma=10) ----------------
+def test_zero_kl_divergence(spark):
+    udf = make_zero_kl_udf(eps=1e-6, gamma=10.0)
+    df = spark.createDataFrame([Row(p=[0.5, 0.5, 0.0], q=[0.25, 0.0, 0.75])])
+    v = df.select(udf(F.col("p"), F.col("q")).alias("v")).first()["v"]
+    # term1: 0.5*log2(0.5/0.25)=0.5; term2: q<=eps → 0.5*10=5; term3 skipped (p=0)
+    assert abs(v - (0.5 + 5.0)) < 1e-9
+
+
+# ---------------- shingles / minhash ----------------
+def test_char_shingles(spark):
+    df = spark.createDataFrame([Row(s="abcd")])
+    v = df.select(char_shingles(F.col("s"), 2, distinct=False).alias("v")).first()["v"]
+    assert v == ["ab", "bc", "cd"]
+
+
+def test_minhash_band_keys_similar_strings_collide(spark):
+    # identical strings share all band keys; disjoint strings share none
+    df = spark.createDataFrame([Row(a="alice gardenbar", b="alice gardenbar", c="zzzz qqqq")])
+    def keys(col):
+        return minhash_band_keys(minhash_signature(char_shingles(F.col(col), 2), 16), 16, 4)
+    r = df.select(keys("a").alias("ka"), keys("b").alias("kb"), keys("c").alias("kc")).first()
+    assert r["ka"] == r["kb"]
+    assert not set(r["ka"]) & set(r["kc"])
+
+
+def test_minhash_deterministic_across_runs(spark):
+    df = spark.createDataFrame([Row(s="hello world")])
+    expr = minhash_signature(char_shingles(F.col("s"), 2), 8)
+    v1 = df.select(expr.alias("v")).first()["v"]
+    v2 = df.select(expr.alias("v")).first()["v"]
+    assert v1 == v2

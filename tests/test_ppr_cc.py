@@ -1,0 +1,121 @@
+"""PPR vs a numpy power-iteration oracle; connected components vs a
+pure-python union-find oracle (FIXTURES.md F6)."""
+
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from wned_spark.config import ERConfig
+from wned_spark.operators.cc import connected_components
+from wned_spark.operators.ppr import personalized_pagerank, signature_cosine
+
+
+def _numpy_ppr(edges, seeds, n_nodes, alpha=0.85, iters=3):
+    """Oracle replicating the exact update rule:
+    r' = alpha * P^T r + e_seed * ((1-alpha) + alpha * dangling_mass)."""
+    P = np.zeros((n_nodes, n_nodes))
+    for s, d, w in edges:
+        P[s, d] = w
+    row_sums = P.sum(axis=1)
+    out = {}
+    for seed in seeds:
+        r = np.zeros(n_nodes)
+        r[seed] = 1.0
+        for _ in range(iters):
+            spread = np.zeros(n_nodes)
+            dangling = 0.0
+            for s in range(n_nodes):
+                if row_sums[s] > 0:
+                    spread += alpha * r[s] * P[s] / row_sums[s]
+                else:
+                    dangling += r[s]
+            spread[seed] += (1 - alpha) + alpha * dangling
+            r = spread
+        out[seed] = r
+    return out
+
+
+def test_ppr_matches_numpy_oracle(spark):
+    rng = random.Random(4)
+    n = 12
+    edge_list = []
+    seen = set()
+    for _ in range(30):
+        s, d = rng.randrange(n), rng.randrange(n)
+        if s != d and (s, d) not in seen:
+            seen.add((s, d))
+            edge_list.append((s, d, float(rng.randint(1, 5))))
+    # node 11 left dangling on purpose
+    edge_list = [(s, d, w) for s, d, w in edge_list if s != 11]
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d, weight=w) for s, d, w in edge_list]
+    )
+    seeds = spark.createDataFrame([Row(seed=0), Row(seed=5), Row(seed=11)])
+    cfg = ERConfig(ppr_max_iter=3)
+    got = personalized_pagerank(seeds, edges, cfg, check_delta=False).collect()
+    oracle = _numpy_ppr(edge_list, [0, 5, 11], n)
+    for r in got:
+        assert abs(r["rank"] - oracle[r["seed"]][r["node"]]) < 1e-9, (r, oracle[r["seed"]][r["node"]])
+    # mass conservation: each signature sums to 1
+    gm = {}
+    for r in got:
+        gm[r["seed"]] = gm.get(r["seed"], 0.0) + r["rank"]
+    for seed, total in gm.items():
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_signature_cosine_self_is_one(spark):
+    sigs = spark.createDataFrame(
+        [Row(seed=1, node=1, rank=0.5), Row(seed=1, node=2, rank=0.5),
+         Row(seed=2, node=1, rank=0.5), Row(seed=2, node=2, rank=0.5),
+         Row(seed=3, node=9, rank=1.0)]
+    )
+    pairs = spark.createDataFrame([Row(seed_a=1, seed_b=2), Row(seed_a=1, seed_b=3)])
+    out = {(r["seed_a"], r["seed_b"]): r["sig_cosine"] for r in signature_cosine(pairs, sigs).collect()}
+    assert abs(out[(1, 2)] - 1.0) < 1e-12
+    assert out[(1, 3)] == 0.0
+
+
+def _union_find_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    groups = {}
+    for x in range(n):
+        groups.setdefault(find(x), set()).add(x)
+    return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+
+def test_connected_components_vs_union_find(spark):
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edge_list = {(rng.randrange(n), rng.randrange(n)) for _ in range(45)}
+        edge_list = [(u, v) for u, v in edge_list if u != v]
+        df = spark.createDataFrame([Row(u=u, v=v) for u, v in edge_list])
+        comp = connected_components(df).collect()
+        groups = {}
+        for r in comp:
+            groups.setdefault(r["component"], set()).add(r["node"])
+            groups[r["component"]].add(r["component"])
+        got = {frozenset(g) for g in groups.values() if len(g) > 1}
+        want = _union_find_components(n, edge_list)
+        assert got == want, f"seed={seed}"
+
+
+def test_connected_components_min_id_convention(spark):
+    df = spark.createDataFrame([Row(u=5, v=3), Row(u=3, v=9), Row(u=100, v=50)])
+    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert comp[5] == 3 and comp[9] == 3 and comp[3] == 3
+    assert comp[100] == 50 and comp[50] == 50

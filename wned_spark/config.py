@@ -32,7 +32,9 @@ class ERConfig:
 
     # --- blocking (J2) ---
     minhash_num_hashes: int = 16
-    minhash_band_size: int = 4  # 4 bands of 4 → catches Jaccard ~0.5+
+    minhash_band_size: int = 2  # 8 bands of 2 → catches Jaccard ~0.3+
+    # (misspelled-surname pairs sit at bigram-Jaccard ~0.4-0.5; 8x2
+    # gives them >0.95 collision probability vs ~0.15 at 4x4)
     shingle_size: int = 2
     # token block keys with more rows than this are re-salted / dropped
     # as uninformative (Zipf-head stopword-like tokens)

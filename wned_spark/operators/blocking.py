@@ -44,14 +44,29 @@ def block_keys(mentions: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
     base = mentions.select("mention_id", F.col(key_col).alias("sn"))
 
-    toks = (
-        base.select(
-            "mention_id",
-            F.explode(F.split(F.col("sn"), r"[\s\.]+")).alias("tok"),
-        )
-        .filter((F.length("tok") >= 3) & (~F.col("tok").isin(_STOPWORDS)))
-        .select("mention_id", F.concat(F.lit("tok:"), F.col("tok")).alias("block_key"))
+    tok_rows = base.select(
+        "mention_id",
+        F.explode(F.split(F.col("sn"), r"[\s\.]+")).alias("tok"),
+    ).filter((F.length("tok") >= 3) & (~F.col("tok").isin(_STOPWORDS)))
+    toks = tok_rows.select(
+        "mention_id", F.concat(F.lit("tok:"), F.col("tok")).alias("block_key")
     )
+    # typo-robust keys: a single swap/drop inside a token keeps either
+    # its 4-char prefix or suffix intact, so misspelled surnames still
+    # share a key with the canonical form
+    affix = (
+        tok_rows.filter(F.length("tok") >= 5)
+        .select(
+            "mention_id",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("pfx:"), F.substring("tok", 1, 4)),
+                    F.concat(F.lit("sfx:"), F.substring("tok", -4, 4)),
+                )
+            ).alias("block_key"),
+        )
+    )
+    toks = toks.union(affix)
 
     sh = char_shingles(F.col("sn"), n=cfg.shingle_size)
     sig = minhash_signature(sh, cfg.minhash_num_hashes)
