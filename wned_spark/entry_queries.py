@@ -1,0 +1,971 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 as a (Spark callable, DuckDB oracle SQL) pair.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column aliased IDENTICALLY in Spark and SQL;
+- double outputs rounded to 6 (or stated) decimals on BOTH sides;
+- money-style big sums aggregated in DECIMAL (exact, order-independent)
+  then cast back to double;
+- natural log is ``ln`` in DuckDB (``log`` is base-10 there!);
+- DuckDB ``regexp_replace`` needs the 'g' flag for global replace.
+
+Hash-dependent operators (MinHash/SimHash/LSH buckets use xxhash64,
+which DuckDB lacks) are registered WITHOUT an oracle — the driver
+records a rows-only check for them, as the contract allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# registry: name -> (spark_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Scans / filters / projections (S*, F*, P1)
+# =====================================================================
+
+@register(
+    "f1_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+    """,
+)
+def f1_filter_project(spark, sf_dir):
+    """F1/P1: predicate + projection, pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1995-06-01") & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_partkey", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@register(
+    "f4_conditional_threshold",
+    """
+    SELECT event_id, event_type, ROUND(value, 6) AS value
+    FROM events
+    WHERE CASE WHEN event_type = 'click' THEN value > 50 ELSE value > 200 END
+    """,
+)
+def f4_conditional_threshold(spark, sf_dir):
+    """F4: per-source prior-threshold pattern (link: t1, other: t2)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.when(F.col("event_type") == "click", F.col("value") > 50).otherwise(
+            F.col("value") > 200
+        )
+    ).select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+# =====================================================================
+# Aggregations (A*)
+# =====================================================================
+
+@register(
+    "a1_edge_multiplicity",
+    """
+    SELECT user_id AS src, event_type AS dst, COUNT(*) AS weight
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a1_edge_multiplicity(spark, sf_dir):
+    """A1: the sort.py+aggregate.py disk merge-sort as one groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count("*").alias("weight"))
+
+
+@register(
+    "a2_prior_normalization",
+    """
+    SELECT user_id, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(SUM(CAST(value AS DECIMAL(18,6)))) OVER (PARTITION BY user_id) AS DOUBLE),
+                 6) AS prior
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a2_prior_normalization(spark, sf_dir):
+    """A2: freq/sum(freq) per key — alias-prior normalization."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s")
+    )
+    w = Window.partitionBy("user_id")
+    return g.select(
+        "user_id",
+        "event_type",
+        F.round(
+            F.col("s").cast("double") / F.sum("s").over(w).cast("double"), 6
+        ).alias("prior"),
+    )
+
+
+@register(
+    "a4_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc, t.term
+      FROM documents,
+           LATERAL (SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term) t
+      WHERE t.term <> ''
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS freq FROM toks GROUP BY doc, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM tf)
+    SELECT tf.doc, tf.term,
+           ROUND(SQRT(tf.freq) * (1.0 + LN(CAST(n.n_docs AS DOUBLE) / (df.df + 1.0))), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def a4_tfidf(spark, sf_dir):
+    """A3+A4: Lucene-DefaultSimilarity tf-idf (sqrt(tf) * (1+ln(N/(df+1))))."""
+    from wned_spark.operators.tfidf import doc_term_weights, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(docs.withColumnRenamed("doc_id", "doc"), "text", ["doc"])
+    w = doc_term_weights(toks, "doc")
+    return w.select("doc", "term", F.round("tfidf", 6).alias("tfidf"))
+
+
+@register(
+    "a8_pairwise_prf",
+    """
+    WITH c AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer WHERE c_custkey <= 300),
+    pairs AS (
+      SELECT (a.c_mktsegment = b.c_mktsegment) AS predicted,
+             (a.c_nationkey = b.c_nationkey) AS is_match
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    ), m AS (
+      SELECT SUM(CASE WHEN predicted AND is_match THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN predicted AND NOT is_match THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN NOT predicted AND is_match THEN 1 ELSE 0 END) AS fn
+      FROM pairs)
+    SELECT tp, fp, fn,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+    FROM m
+    """,
+)
+def a8_pairwise_prf(spark, sf_dir):
+    """A8: the pairwise P/R harness (Evaluation.java:154-160 recast) on
+    a deterministic toy predictor (same-segment vs same-nation)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey")).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("predicted"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("is_match"),
+    )
+    m = pairs.agg(
+        F.sum(F.when(F.col("predicted") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("predicted") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("predicted") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+    )
+    return m.select(
+        "tp", "fp", "fn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+    )
+
+
+@register(
+    "a10_degrees",
+    """
+    SELECT l_suppkey AS src, COUNT(*) AS degree,
+           COUNT(DISTINCT l_partkey) AS distinct_neighbors
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def a10_degrees(spark, sf_dir):
+    """A10: degree materialization."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("src")).agg(
+        F.count("*").alias("degree"),
+        F.countDistinct("l_partkey").alias("distinct_neighbors"),
+    )
+
+
+@register(
+    "agg_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: multi-agg with DECIMAL accumulation so the value
+    hash is order-independent (double sums are not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# =====================================================================
+# Joins (J*) / set ops (U/E/D)
+# =====================================================================
+
+@register(
+    "j1_dimension_join",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j1_dimension_join(spark, sf_dir):
+    """J1: equi-join against small dims — broadcast both (the alias-dict
+    lookup pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j5_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+    """,
+)
+def j5_semi_join(spark, sf_dir):
+    """F6-style membership filter as a left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "e1_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def e1_anti_join(spark, sf_dir):
+    """E1: avoidSet exclusion as a left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j4_left_join_fallback",
+    """
+    SELECT p.p_partkey, p.p_name,
+           COALESCE(x.n_lines, 0) AS n_lines
+    FROM part p LEFT JOIN (
+      SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_partkey
+    ) x ON p.p_partkey = x.l_partkey
+    """,
+)
+def j4_left_join_fallback(spark, sf_dir):
+    """J4: left join + coalesce (alias⋈redirect fallback pattern)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(F.count("*").alias("n_lines"))
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left").select(
+        "p_partkey", "p_name", F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines")
+    )
+
+
+@register(
+    "d1_undirected_dedup",
+    """
+    SELECT LEAST(l_partkey, l_suppkey) AS a, GREATEST(l_partkey, l_suppkey) AS b,
+           MAX(l_quantity) AS weight, COUNT(*) AS multiplicity
+    FROM lineitem GROUP BY LEAST(l_partkey, l_suppkey), GREATEST(l_partkey, l_suppkey)
+    """,
+)
+def d1_undirected_dedup(spark, sf_dir):
+    """D1: directed→undirected edge dedup (max weight per unordered pair)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.least("l_partkey", "l_suppkey").alias("a"),
+        F.greatest("l_partkey", "l_suppkey").alias("b"),
+    ).agg(F.max("l_quantity").alias("weight"), F.count("*").alias("multiplicity"))
+
+
+@register(
+    "u1_union_distinct",
+    """
+    SELECT DISTINCT k FROM (
+      SELECT o_custkey AS k FROM orders
+      UNION ALL
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+    )
+    """,
+)
+def u1_union_distinct(spark, sf_dir):
+    """U1: frontier-expansion union+distinct."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    return o.union(c).distinct()
+
+
+# =====================================================================
+# Windows / sorts / limits (W*, O*)
+# =====================================================================
+
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    """W1: top-K per mention by prior → top-3 orders per customer,
+    descending with deterministic tiebreak (Rank.java:28-36 semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+@register(
+    "w2_two_ranker_union",
+    """
+    SELECT DISTINCT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) WHERE rk <= 2
+      UNION ALL
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rk
+        FROM orders) WHERE rk <= 2
+    )
+    """,
+)
+def w2_two_ranker_union(spark, sf_dir):
+    """W2: top-3-by-ctx ∪ top-3-by-prior candidate prune → two ranked
+    windows unioned + dedup."""
+    o = _t(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    top_price = o.withColumn("rk", F.row_number().over(w1)).filter(F.col("rk") <= 2)
+    top_date = o.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= 2)
+    return (
+        top_price.select("o_custkey", "o_orderkey")
+        .union(top_date.select("o_custkey", "o_orderkey"))
+        .distinct()
+    )
+
+
+@register(
+    "w6_ambiguity_order",
+    """
+    SELECT o_custkey, n FROM (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ) ORDER BY n ASC, o_custkey ASC LIMIT 100
+    """,
+)
+def w6_ambiguity_order(spark, sf_dir):
+    """W6: ambiguity-ordered processing (ascending candidate count)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc("n"), F.asc("o_custkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "o1_sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+def o1_sort_limit(spark, sf_dir):
+    """O1/O3: global sort + limit (the external merge-sort, subsumed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@register(
+    "ctx_window_lag",
+    """
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(gap AS DECIMAL(18,3))) AS DOUBLE)
+                 / COUNT(*), 3) AS mean_gap_s
+    FROM (
+      SELECT user_id,
+             EXTRACT(EPOCH FROM ts - LAG(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ) WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ctx_window_lag(spark, sf_dir):
+    """The one ordered-window use (context windows via lag/lead over
+    (conv_id, turn_idx) — SURVEY §2.5): mean inter-event gap per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # session TZ is UTC, so NTZ→LTZ→epoch matches DuckDB's naive EPOCH
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1e6
+    gaps = ev.withColumn("gap", epoch - F.lag(epoch).over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("gap").cast("decimal(18,3)")).cast("double") / F.count("*"), 3
+        ).alias("mean_gap_s")
+    )
+
+
+# =====================================================================
+# Scalar functions (R*)
+# =====================================================================
+
+@register(
+    "r2_levenshtein",
+    """
+    SELECT p_partkey, levenshtein(lower(p_type), lower(p_brand)) AS lev
+    FROM part
+    """,
+)
+def r2_levenshtein(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.levenshtein(F.lower("p_type"), F.lower("p_brand")).alias("lev")
+    )
+
+
+@register(
+    "r9_normalize_digest",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_digest
+    FROM documents
+    """,
+)
+def r9_normalize_digest(spark, sf_dir):
+    """R9: the canonical normalizer, digest-compared for parity."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("norm_digest"),
+    )
+
+
+@register(
+    "r13_milne_witten",
+    """
+    WITH links AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+    deg AS (SELECT src, COUNT(*) AS degree FROM links GROUP BY src),
+    n AS (SELECT COUNT(DISTINCT src) AS n_nodes FROM links),
+    pairs AS (
+      SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS common
+      FROM links a JOIN links b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT src_a, src_b,
+           ROUND(GREATEST(0.0, LEAST(0.999999,
+             1.0 - (LN(CAST(GREATEST(da.degree, db.degree) AS DOUBLE)) - LN(CAST(common AS DOUBLE)))
+                 / (LN(CAST(n.n_nodes AS DOUBLE)) - LN(CAST(LEAST(da.degree, db.degree) AS DOUBLE)))
+           )), 6) AS relatedness
+    FROM pairs
+    JOIN deg da ON pairs.src_a = da.src
+    JOIN deg db ON pairs.src_b = db.src
+    CROSS JOIN n
+    WHERE src_a <= 20 AND src_b <= 20
+    """,
+)
+def r13_milne_witten(spark, sf_dir):
+    """J9+R13: common-neighbor Milne-Witten over the supplier-part
+    bipartite links (suppliers as entities, parts as neighbors)."""
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")).distinct()
+    deg = links.groupBy("src").agg(F.count("*").alias("degree"))
+    n_nodes = links.select("src").distinct().count()
+    a, b = links.alias("a"), links.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.withColumnRenamed("src", "src_a").withColumnRenamed("degree", "deg_a")
+    db = deg.withColumnRenamed("src", "src_b").withColumnRenamed("degree", "deg_b")
+    raw = 1.0 - (
+        F.log(F.greatest("deg_a", "deg_b").cast("double")) - F.log(F.col("common").cast("double"))
+    ) / (F.log(F.lit(float(n_nodes))) - F.log(F.least("deg_a", "deg_b").cast("double")))
+    return (
+        pairs.join(da, "src_a").join(db, "src_b")
+        .filter((F.col("src_a") <= 20) & (F.col("src_b") <= 20))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.greatest(F.lit(0.0), F.least(F.lit(0.999999), raw)), 6).alias("relatedness"),
+        )
+    )
+
+
+# =====================================================================
+# Graph / iterative (G3 PPR, G8 CC) — with genuine oracles
+# =====================================================================
+
+_PPR_SQL = """
+    WITH edges AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst, 1.0 AS w
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+    ),
+    p AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+    ),
+    seeds AS (
+      SELECT MIN(n_nationkey) AS seed FROM nation GROUP BY n_regionkey
+    ),
+    r0 AS (SELECT seed, seed AS node, 1.0 AS rank FROM seeds),
+    r1 AS (
+      SELECT seed, node, SUM(rank) AS rank FROM (
+        SELECT r0.seed, p.dst AS node, 0.85 * r0.rank * p.p AS rank
+        FROM r0 JOIN p ON r0.node = p.src
+        UNION ALL
+        SELECT seed, seed AS node, 0.15 AS rank FROM seeds
+      ) GROUP BY seed, node
+    ),
+    r2 AS (
+      SELECT seed, node, SUM(rank) AS rank FROM (
+        SELECT r1.seed, p.dst AS node, 0.85 * r1.rank * p.p AS rank
+        FROM r1 JOIN p ON r1.node = p.src
+        UNION ALL
+        SELECT seed, seed AS node, 0.15 AS rank FROM seeds
+      ) GROUP BY seed, node
+    ),
+    r3 AS (
+      SELECT seed, node, SUM(rank) AS rank FROM (
+        SELECT r2.seed, p.dst AS node, 0.85 * r2.rank * p.p AS rank
+        FROM r2 JOIN p ON r2.node = p.src
+        UNION ALL
+        SELECT seed, seed AS node, 0.15 AS rank FROM seeds
+      ) GROUP BY seed, node
+    )
+    SELECT seed, node, ROUND(rank, 9) AS rank FROM r3
+"""
+
+
+@register("g3_personalized_pagerank", _PPR_SQL)
+def g3_personalized_pagerank(spark, sf_dir):
+    """G3/G5: batched PPR (alpha=0.85, 3 iterations — the reference's
+    exact parameters) over the nation co-membership clique graph, one
+    seed per region. The oracle unrolls the identical power iteration
+    in SQL — a true independent check of the iterative operator."""
+    from wned_spark.config import ERConfig
+    from wned_spark.operators.ppr import personalized_pagerank
+
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_nationkey").cast("long").alias("src"),
+            F.col("b.n_nationkey").cast("long").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    seeds = (
+        n.groupBy("n_regionkey")
+        .agg(F.min("n_nationkey").cast("long").alias("seed"))
+        .select("seed")
+    )
+    cfg = ERConfig(ppr_max_iter=3)
+    sigs = personalized_pagerank(seeds, edges, cfg, check_delta=False)
+    return sigs.select(
+        F.col("seed").cast("int").alias("seed"),
+        F.col("node").cast("int").alias("node"),
+        F.round("rank", 9).alias("rank"),
+    )
+
+
+@register(
+    "g8_connected_components",
+    """
+    SELECT n_nationkey AS node,
+           MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS component
+    FROM nation
+    """,
+)
+def g8_connected_components(spark, sf_dir):
+    """G8: large-star/small-star CC on the nation region-clique graph;
+    the oracle computes components independently (min key per region)."""
+    from wned_spark.operators.cc import connected_components
+
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_nationkey").cast("long").alias("u"),
+            F.col("b.n_nationkey").cast("long").alias("v"),
+        )
+    )
+    comp = connected_components(edges)
+    all_nodes = n.select(F.col("n_nationkey").cast("long").alias("node"))
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select(
+            F.col("node").cast("int").alias("node"),
+            F.coalesce(F.col("component"), F.col("node")).cast("int").alias("component"),
+        )
+    )
+
+
+# =====================================================================
+# Dedup / text-analysis / ANN (training-data pipeline extras)
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    """
+    SELECT digest, group_size FROM (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest,
+             COUNT(*) AS group_size
+      FROM documents GROUP BY 1
+    ) WHERE group_size > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from wned_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d).select("digest", "group_size")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH arrs AS (
+      SELECT doc_id AS doc,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc, UNNEST(arr) AS tok, generate_subscripts(arr, 1) - 1 AS pos
+      FROM arrs
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+      FROM toks a JOIN toks b ON a.doc = b.doc AND b.pos = a.pos + 1
+                  JOIN toks c ON a.doc = c.doc AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS left_doc, b.doc AS right_doc, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT left_doc, right_doc,
+           ROUND(CAST(inter AS DOUBLE) / (sl.sz + sr.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sl ON inter.left_doc = sl.doc
+    JOIN sizes sr ON inter.right_doc = sr.doc
+    WHERE CAST(inter AS DOUBLE) / (sl.sz + sr.sz - inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.2), fully
+    relational on both engines.
+
+    NOTE: the SQL's window-ordered shingling requires the same token
+    order; DuckDB's UNNEST preserves array order and the ROW_NUMBER is
+    per-doc positional."""
+    from wned_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, threshold=0.2)
+    return out.select("left_doc", "right_doc", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh", None)  # xxhash64-based → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs. Hash-dependent (xxhash64 has no
+    DuckDB equivalent) → registered without an oracle; correctness is
+    pinned instead by tests/test_extras.py against the exact-Jaccard
+    oracle pairs."""
+    from wned_spark.operators.dedup import minhash_duplicate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_duplicate_pairs(d, jaccard_threshold=0.2).select(
+        "left_doc", "right_doc", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("dedup_simhash", None)  # xxhash64-based → rows-only check
+def dedup_simhash(spark, sf_dir):
+    from wned_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3, num_bits=16)
+
+
+@register("dedup_embedding", None)  # xxhash64 LSH buckets → rows-only
+def dedup_embedding(spark, sf_dir):
+    from wned_spark.operators.dedup import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, cosine_threshold=0.9).select(
+        "left_doc", "right_doc", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    flat_q AS (
+      SELECT vec_id AS query_id, u.j - 1 AS j, CAST(u.x AS DOUBLE) AS x
+      FROM q, LATERAL (SELECT UNNEST(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS j) u
+    ),
+    flat_c AS (
+      SELECT vec_id AS neighbor_id, u.j - 1 AS j, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS x,
+                                       generate_subscripts(embedding, 1) AS j) u
+    ),
+    norms_q AS (SELECT query_id, SQRT(SUM(x*x)) AS nq FROM flat_q GROUP BY query_id),
+    norms_c AS (SELECT neighbor_id, SQRT(SUM(x*x)) AS nc FROM flat_c GROUP BY neighbor_id),
+    dots AS (
+      SELECT a.query_id, b.neighbor_id, SUM(a.x * b.x) AS dot
+      FROM flat_q a JOIN flat_c b ON a.j = b.j
+      WHERE a.query_id <> b.neighbor_id
+      GROUP BY a.query_id, b.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (nq * nc) DESC, neighbor_id ASC) AS rk
+      FROM dots JOIN norms_q USING (query_id) JOIN norms_c USING (neighbor_id)
+    ) WHERE rk <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors. The output
+    carries (query, neighbor, rank) — rank is float-order-stable while
+    raw cosines are not bit-portable across engines."""
+    from wned_spark.operators.ann import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(q, e, k=5).select("query_id", "neighbor_id", "rk")
+
+
+@register("ann_cosine_topk_lsh", None)  # xxhash64 buckets → rows-only
+def ann_cosine_topk_lsh(spark, sf_dir):
+    from wned_spark.operators.ann import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(q, e, k=5).select("query_id", "neighbor_id", "rk")
+
+
+_LANG_SQL_SCORE = """
+  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}0-9]+'),
+       x -> x <> '' AND x IN ({words}))) AS DOUBLE)
+  / GREATEST(len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}0-9]+'),
+       x -> x <> '')), 1)
+"""
+
+
+def _lang_sql():
+    from wned_spark.functions.text import _LANG_PROFILES
+
+    scores = {
+        lang: _LANG_SQL_SCORE.format(words=", ".join(f"'{w}'" for w in ws))
+        for lang, ws in _LANG_PROFILES.items()
+    }
+    # replicate the fold: best=('und',0); for lang in [en,de,fr,es]: s>best → update
+    expr = "'und'"
+    best = "0.0"
+    for lang in ["en", "de", "fr", "es"]:
+        s = scores[lang]
+        expr = f"CASE WHEN ({s}) > ({best}) THEN '{lang}' ELSE {expr} END"
+        best = f"GREATEST({s}, {best})"
+    return f"SELECT doc_id, {expr} AS lang_detected FROM documents"
+
+
+@register("text_language_id", _lang_sql())
+def text_language_id(spark, sf_dir):
+    """Stopword-profile language ID (n-gram heuristic family)."""
+    from wned_spark.functions.text import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_language(F.col("text")).alias("lang_detected"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{L}0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> x IN
+                 ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring features (length / punct / stopword ratios)."""
+    from wned_spark.functions.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    from wned_spark.functions.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_ws(F.col("text")).alias("n_ws_tokens"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{L}0-9]+'),
+                         x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive content fingerprint (md5 over sorted distinct
+    tokens — engine-portable digest)."""
+    from wned_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# =====================================================================
+# ER pipeline flagship (generated transcripts; no SQL oracle — the gold
+# harness in tests/test_pipeline_e2e.py is its correctness gate)
+# =====================================================================
+
+@register("er_clusters_flagship", None)
+def er_clusters_flagship(spark, sf_dir):
+    """End-to-end ER: synthetic transcripts → blocking → scoring → PPR
+    signatures → threshold → connected components → clusters."""
+    from wned_spark.config import ERConfig
+    from wned_spark.datagen import generate_corpus
+    from wned_spark.pipeline import run_er_pipeline
+
+    c = generate_corpus(
+        spark, n_conversations=24, turns_per_conv=8, n_entities=16, community_size=8
+    )
+    res = run_er_pipeline(
+        spark, c["transcripts"].cache(), alias_raw=c["alias_raw"], cfg=ERConfig()
+    )
+    return res.clusters
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

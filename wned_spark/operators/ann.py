@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns — brute-force cosine top-k
+baseline + LSH-bucketed approximate variant (the scale path).
+
+All vector math is JVM-side via higher-order functions (``zip_with`` +
+``aggregate``) — no Python in the hot loop. The brute-force path is the
+exactness oracle; the bucketed path bounds the join fan-out for
+billion-row corpora (probe joins only its bucket ± multiprobe
+neighbors instead of the full corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: cross join + ranked window. The baseline /
+    oracle — O(|Q|·|C|), use only with a bounded query set."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _rp_bucket(vec_col, planes: int = 8):
+    """Random-projection sign bucket from pinned xxhash64 hyperplanes —
+    deterministic across runs/parallelism (no driver RNG)."""
+    d = F.size(vec_col)
+    bits = []
+    for p in range(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), d - 1),
+                    lambda j, p=p: F.when(
+                        F.xxhash64(F.lit(p * 131071), j) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent random-projection
+    hash tables; candidates = union of same-bucket rows across tables;
+    exact cosine re-rank of candidates only. Recall rises with
+    n_tables; join fan-out stays bounded by bucket occupancy
+    (|corpus| / 2^planes per table on average)."""
+    def with_buckets(df, idname):
+        rows = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
+        # one bucket key per hash table (plane seeds offset by table id)
+        buckets = [_rp_bucket_t(F.col(f"{idname}_v"), planes, t) for t in range(n_tables)]
+        return rows.select(idname, f"{idname}_v", F.explode(F.array(*buckets)).alias("bk"))
+
+    q = with_buckets(queries, "query_id")
+    c = with_buckets(corpus, "neighbor_id")
+    cand = (
+        q.join(c, q["bk"] == c["bk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .distinct()
+        .withColumn(
+            "cosine",
+            _dot(F.col("query_id_v"), F.col("neighbor_id_v"))
+            / (_norm(F.col("query_id_v")) * _norm(F.col("neighbor_id_v"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _rp_bucket_t(vec_col, planes: int, table: int):
+    d = F.size(vec_col)
+    bits = []
+    for p in range(planes):
+        seed = (table * 7919 + p) * 131071
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), d - 1),
+                    lambda j, seed=seed: F.when(
+                        F.xxhash64(F.lit(seed), j) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return F.concat_ws(":", F.lit(table), out.cast("string"))

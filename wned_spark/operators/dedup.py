@@ -1,0 +1,277 @@
+"""Document deduplication family — exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding near-dup.
+
+These are the training-data-pipeline operators layered on the same
+primitives the ER engine uses (shingles/minhash from
+``functions/shingles.py``, connected components from ``operators/cc.py``).
+All hot paths are Catalyst expressions; nothing collects to the driver.
+
+Scale notes: exact dedup is one map-side-combinable groupBy on a 128-bit
+digest; MinHash-LSH pair generation is a self-join on band keys whose
+block sizes are bounded by construction (band collision implies high
+Jaccard); verification joins back to shingle arrays only for colliding
+pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wned_spark.functions.shingles import minhash_band_keys, minhash_signature
+from wned_spark.operators.cc import connected_components
+
+
+def word_shingles(col, n: int = 3):
+    """Array of word n-gram shingles (distinct), JVM-side."""
+    toks = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 of the whitespace-normalized lowercased text;
+    returns (digest, group_size, doc_ids) for groups with >1 member."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard >= threshold,
+    computed RELATIONALLY (explode → shingle join → group) so it scales
+    without materializing per-doc arrays on the driver:
+
+        inter(a,b) = #shared shingles;  J = inter / (|A|+|B|-inter)
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("left_doc"), F.col("b.doc").alias("right_doc"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "left_doc").withColumnRenamed("sz", "sz_l"), "left_doc")
+        .join(sizes.withColumnRenamed("doc", "right_doc").withColumnRenamed("sz", "sz_r"), "right_doc")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_l") + F.col("sz_r") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_doc", "right_doc", "jaccard")
+    )
+
+
+def minhash_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → minhash → band → bucket
+    self-join → exact-Jaccard verification of colliding pairs only."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    sig = sh.select(
+        "doc",
+        "shingles",
+        F.explode(
+            minhash_band_keys(
+                minhash_signature(F.col("shingles"), num_hashes), num_hashes, band_size
+            )
+        ).alias("band"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("left_doc"),
+            F.col("b.doc").alias("right_doc"),
+            F.col("a.shingles").alias("sh_l"),
+            F.col("b.shingles").alias("sh_r"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    return (
+        cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("left_doc", "right_doc", "jaccard")
+    )
+
+
+def simhash(col, num_bits: int = 64):
+    """64-bit SimHash over word tokens, pure expressions: for each bit b,
+    sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
+    Computed as a packed bigint via bitwise ops on token hashes."""
+    toks = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = []
+    for b in range(num_bits):
+        # +1 when bit set else -1, summed over tokens → sign = bit b
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket on byte-bands of the simhash
+    (a pair within hamming distance k collides on >=1 of k+1 bands),
+    verify with exact popcount. num_bits kept small by default — 16
+    bits / 4 bands covers the common near-dup regime; raise for 64."""
+    n_bands = max_hamming + 1
+    band_bits = num_bits // n_bands
+    sh = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), num_bits).alias("sh"))
+    bands = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(i),
+                    F.shiftright(F.col("sh"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .cast("string"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("left_doc"),
+            F.col("b.doc").alias("right_doc"),
+            F.col("a.sh").alias("sh_l"),
+            F.col("b.sh").alias("sh_r"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_doc", "right_doc", "hamming")
+    )
+
+
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate pairs → transitive closure → (doc_id, dup_group) with
+    min-id representative; singletons map to themselves (G8 reuse)."""
+    comp = connected_components(
+        pairs.select(F.col("left_doc").alias("u"), F.col("right_doc").alias("v"))
+    )
+    return (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("dup_group"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: brute-force within random-
+    projection LSH buckets (sign of dot with pinned pseudo-random
+    hyperplanes, derived from xxhash64 — deterministic, no driver RNG).
+
+    The bucket key collapses the O(n²) comparison to within-bucket
+    pairs; near-identical vectors agree on all signs with high
+    probability."""
+    dim_probe = F.size(F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), dim_probe.alias("d")
+    )
+    # 8 hyperplanes: component j of plane p = hash(p, j) mapped to ±1
+    planes = 8
+    sign_bits = []
+    for p in range(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(
+                    F.sequence(F.lit(0), F.col("d") - 1),
+                    lambda j, p=p: F.when(
+                        F.xxhash64(F.lit(p * 131071), j) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    key = sign_bits[0]
+    for x in sign_bits[1:]:
+        key = key + x
+    bucketed = vecs.withColumn("bucket", key)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(
+            F.col("a.doc").alias("left_doc"),
+            F.col("b.doc").alias("right_doc"),
+            "cosine",
+        )
+    )
