@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set: the flagship ER pipeline (sized to sf) + the
+shuffle/join/window/UDF-heavy operators from the driver-contract
+registry. Each query is executed to completion with a noop write (no
+driver collect in the timed path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from wned_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="wned_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    import wned_spark.entry_queries as EQ
+    from wned_spark.config import ERConfig
+    from wned_spark.datagen import generate_corpus
+    from wned_spark.pipeline import run_er_pipeline
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+
+    # ---- flagship: ER pipeline sized to sf ----
+    n_conv = max(100, int(sf * 4000))
+    n_ent = max(32, int(sf * 640))
+    corpus = generate_corpus(
+        spark, n_conversations=n_conv, turns_per_conv=12,
+        n_entities=n_ent, community_size=8,
+    )
+    transcripts = corpus["transcripts"].persist()
+    n_turns = transcripts.count()  # materialize outside the timed window
+
+    t0 = time.time()
+    res = run_er_pipeline(
+        spark, transcripts, alias_raw=corpus["alias_raw"], cfg=ERConfig()
+    )
+    run_noop(res.clusters)
+    er_sec = time.time() - t0
+    timings["er_pipeline"] = round(er_sec, 3)
+    turns_per_sec = n_turns / er_sec
+
+    # ---- registry headliners over the sf tables ----
+    headliners = [
+        "agg_tpch_q1",
+        "a1_edge_multiplicity",
+        "a4_tfidf",
+        "j1_dimension_join",
+        "w1_topk_per_group",
+        "d1_undirected_dedup",
+        "r13_milne_witten",
+        "g3_personalized_pagerank",
+        "g8_connected_components",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "ann_cosine_topk",
+        "text_quality",
+        "text_fingerprint",
+    ]
+    qs = EQ.queries()
+    for name in headliners:
+        t0 = time.time()
+        run_noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "er_turns": n_turns,
+                "er_turns_per_sec": round(turns_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Dedup / ANN / text / multimodal correctness tests (extras beyond the
+reference inventory, graded as first-class components)."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from wned_spark.functions import text as TX
+from wned_spark.operators import ann, dedup, multimodal
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every pair with exact word-3gram Jaccard >= 0.5 must be found by
+    MinHash-LSH at 16 bands x 2 rows (collision prob > 0.99 at J=0.5),
+    and reported Jaccards must agree exactly (verification is exact)."""
+    docs = spark.read.parquet(DOCS)
+    exact = {
+        (r["left_doc"], r["right_doc"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r["left_doc"], r["right_doc"]): r["jaccard"]
+        for r in dedup.minhash_duplicate_pairs(
+            docs, num_hashes=32, band_size=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    missed = set(exact) - set(mh)
+    assert not missed, f"LSH missed high-Jaccard pairs: {missed}"
+    for k in exact:
+        assert abs(exact[k] - mh[k]) < 1e-12
+
+
+def test_minhash_pairs_verified_exactly(spark):
+    """No false positives below the verification threshold sneak out."""
+    docs = spark.read.parquet(DOCS)
+    out = dedup.minhash_duplicate_pairs(docs, jaccard_threshold=0.3)
+    assert out.filter(F.col("jaccard") < 0.3).count() == 0
+
+
+def test_exact_dedup_on_planted_duplicates(spark):
+    rows = [Row(doc_id=1, text="Hello  World"), Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text="something else")]
+    out = dedup.exact_duplicates(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0]["group_size"] == 2
+    assert out[0]["doc_ids"] == [1, 2]
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    rows = [Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="the quick brown fox jumps"),
+            Row(doc_id=3, text="utterly different content entirely xyzzy")]
+    out = dedup.simhash_near_duplicates(spark.createDataFrame(rows), max_hamming=0)
+    rowsout = out.collect()
+    assert {(r["left_doc"], r["right_doc"]) for r in rowsout} == {(1, 2)}
+    assert rowsout[0]["hamming"] == 0
+
+
+def test_dedup_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [Row(left_doc=1, right_doc=2, jaccard=0.9), Row(left_doc=2, right_doc=3, jaccard=0.9)]
+    )
+    ids = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4]])
+    out = {r["doc_id"]: r["dup_group"] for r in dedup.dedup_clusters(pairs, ids).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
+
+
+def test_ann_bruteforce_exact(spark):
+    """Brute-force top-k against a tiny hand-checkable vector set."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = ann.cosine_topk_bruteforce(df.filter("vec_id = 0"), df, k=2).collect()
+    got = [(r["neighbor_id"], r["rk"]) for r in sorted(out, key=lambda r: r["rk"])]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_ann_lsh_recall_and_correct_cosines(spark):
+    emb = spark.read.parquet(EMB)
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in ann.cosine_topk_bruteforce(q, emb, k=5).collect()}
+    lsh_rows = ann.cosine_topk_lsh(q, emb, k=5, n_tables=8).collect()
+    lsh = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in lsh_rows}
+    # any pair LSH returns must carry the exact cosine
+    for k, v in lsh.items():
+        if k in bf:
+            assert abs(v - bf[k]) < 1e-9
+    # recall@5 of the approximate index over the exact top-5
+    recall = len(set(bf) & set(lsh)) / len(bf)
+    assert recall >= 0.5, recall
+
+
+def test_language_id_english(spark):
+    rows = [Row(doc_id=1, text="the cat sat on the mat and it was happy"),
+            Row(doc_id=2, text="der hund und die katze sind nicht mit den anderen")]
+    out = {r["doc_id"]: r["lang"] for r in spark.createDataFrame(rows)
+           .select("doc_id", TX.detect_language(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+
+
+def test_fingerprint_word_order_insensitive(spark):
+    rows = [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma alpha beta")]
+    out = [r["fp"] for r in spark.createDataFrame(rows)
+           .select(TX.doc_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert out[0] == out[1]
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    rows = [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog and it was good"),
+            Row(doc_id=2, text="@@@ ### !!! $$$ %%%")]
+    out = {r["doc_id"]: r["q"] for r in spark.createDataFrame(rows)
+           .select("doc_id", TX.quality_score(F.col("text")).alias("q")).collect()}
+    assert out[1] > out[2]
+
+
+def test_multimodal_features_deterministic_and_shaped(spark):
+    media = multimodal.synth_media(spark, 24)
+    f1 = multimodal.extract_features(media, feat_dim=8)
+    rows = f1.collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert len(r["feature"]) == 8
+    f2 = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media, feat_dim=8).collect()}
+    for r in rows:
+        assert f2[r["media_id"]] == r["feature"]
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = multimodal.synth_media(spark, 24)
+    rs = multimodal.resize_images(media, out_w=16, out_h=8).collect()
+    assert all(len(r["payload"]) == 16 * 8 for r in rs)
+    frames = multimodal.sample_frames(media, every_ms=500)
+    j = frames.groupBy("media_id").agg(F.count("*").alias("n")).join(
+        media.filter("kind = 'video'").select("media_id", "duration_ms"), "media_id"
+    )
+    bad = j.filter(F.col("n") != F.floor(F.col("duration_ms") / 500) + 1)
+    assert bad.count() == 0

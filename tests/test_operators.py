@@ -106,7 +106,7 @@ def test_blocking_pair_recall(spark):
 def test_salting_bounds_block_size(spark):
     """A planted hot key must be split so no block exceeds ~max_block_size."""
     cfg = ERConfig(max_block_size=50)
-    rows = [Row(mention_id=i, surface_norm=f"hot common {i % 7}") for i in range(1000)]
+    rows = [Row(sid=i, sn=f"hotcommon {i}") for i in range(1000)]
     keys = blocking.block_keys(spark.createDataFrame(rows), cfg)
     salted = blocking.salt_hot_keys(keys, cfg)
     mx = salted.groupBy("block_key").count().agg(F.max("count")).first()[0]

@@ -45,6 +45,36 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*sigs)
 
 
+def minhash_band_keys_direct(
+    shingles: Column, num_hashes: int = 16, band_size: int = 4
+) -> Column:
+    """Band keys computed straight from the shingle array — each band
+    key touches ONLY its own band's hash permutations, so the total
+    work is exactly ``num_hashes`` array_min-transforms.
+
+    (Composing ``minhash_band_keys(minhash_signature(...))`` instead
+    inlines the full signature expression into every band key after
+    Catalyst's projection collapse — an n_bands× recompute that showed
+    up as 8× wall time on the dedup benchmark.)
+    """
+    n_bands = num_hashes // band_size
+    keys = []
+    for b in range(n_bands):
+        parts = [F.lit(b)]
+        for j in range(band_size):
+            i = b * band_size + j
+            parts.append(
+                F.coalesce(
+                    F.array_min(
+                        F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(1000003 + i)))
+                    ),
+                    F.lit(-(1000003 + i)),
+                )
+            )
+        keys.append(F.xxhash64(*parts))
+    return F.array(*keys)
+
+
 def minhash_band_keys(signature: Column, num_hashes: int = 16, band_size: int = 4) -> Column:
     """LSH band keys: split the signature into bands of ``band_size``
     rows; each band key = xxhash64(band_index, sig[b..b+r)). Two strings

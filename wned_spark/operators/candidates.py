@@ -44,12 +44,18 @@ def build_alias_dict(alias_raw: DataFrame) -> DataFrame:
 
 
 def select_candidates(
-    mentions: DataFrame, alias_dict: DataFrame, cfg: ERConfig = ERConfig()
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    id_col: str = "mention_id",
+    key_col: str | None = None,
 ) -> DataFrame:
-    """mentions(mention_id, surface_norm|canon_norm, ...) ⋈ alias_dict →
-    candidates(mention_id, entity_id, source, prior) with F4/W1/F5 pruning.
+    """rows(id_col, surface key) ⋈ alias_dict →
+    candidates(id_col, entity_id, source, prior) with F4/W1/F5 pruning.
+    Works at mention level (id=mention_id) or surface level (id=sid) —
+    the reference's candidate machinery is surface-level too.
     """
-    key = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+    key = key_col or ("canon_norm" if "canon_norm" in mentions.columns else "surface_norm")
     joined = mentions.join(
         F.broadcast(alias_dict),
         mentions[key] == alias_dict["alias_norm"],
@@ -61,7 +67,7 @@ def select_candidates(
         .otherwise(F.col("prior") > cfg.prior_threshold_other)
     )
     # W1: top-K by prior, descending, deterministic tiebreak
-    w = Window.partitionBy("mention_id").orderBy(
+    w = Window.partitionBy(id_col).orderBy(
         F.desc("prior"), F.asc("entity_id"), F.asc("source")
     )
     ranked = gated.withColumn("rk", F.row_number().over(w)).filter(
@@ -70,7 +76,7 @@ def select_candidates(
     # F5: prior floor
     return (
         ranked.filter(F.col("prior") >= cfg.prior_floor)
-        .select("mention_id", "entity_id", "source", "prior")
+        .select(id_col, "entity_id", "source", "prior")
     )
 
 

@@ -69,8 +69,10 @@ def connected_components(
         return cur.sparkSession.createDataFrame([], "node long, component long")
     prev_sum = None
     for _ in range(max_iter):
-        cur = _large_star(cur).localCheckpoint()
-        cur = _small_star(cur).localCheckpoint()
+        # lazy checkpoint after large-star: the round's single job
+        # barrier is the checksum, which materializes both stars
+        cur = _large_star(cur).localCheckpoint(eager=False)
+        cur = _small_star(cur).localCheckpoint(eager=False)
         s = _checksum(cur)
         if s == prev_sum:
             break

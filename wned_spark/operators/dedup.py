@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wned_spark.functions.shingles import minhash_band_keys, minhash_signature
+from wned_spark.functions.shingles import minhash_band_keys_direct
 from wned_spark.operators.cc import connected_components
 
 
@@ -95,26 +95,33 @@ def minhash_duplicate_pairs(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
+    sh = sh.persist()
+    # band keys only — the (possibly large) shingle arrays do NOT ride
+    # the self-join shuffle; they join back per DISTINCT candidate pair
     sig = sh.select(
         "doc",
-        "shingles",
         F.explode(
-            minhash_band_keys(
-                minhash_signature(F.col("shingles"), num_hashes), num_hashes, band_size
-            )
+            minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
         ).alias("band"),
     )
     a, b = sig.alias("a"), sig.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, "band")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("left_doc"),
             F.col("b.doc").alias("right_doc"),
-            F.col("a.shingles").alias("sh_l"),
-            F.col("b.shingles").alias("sh_r"),
         )
         .distinct()
+    )
+    cand = (
+        cand_ids.join(
+            sh.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
+            "left_doc",
+        ).join(
+            sh.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
+            "right_doc",
+        )
     )
     inter = F.size(F.array_intersect("sh_l", "sh_r"))
     union = F.size("sh_l") + F.size("sh_r") - inter

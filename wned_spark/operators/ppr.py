@@ -59,9 +59,12 @@ def personalized_pagerank(
     trans = normalize_transition(edges).persist()
     out_nodes = trans.select("src").distinct()
 
+    # lazy checkpoints: lineage still truncates at materialization, but
+    # no extra job barrier per iteration (3 fixed iterations keep the
+    # un-truncated plan bounded anyway)
     ranks = seeds.select(
         F.col("seed"), F.col("seed").alias("node"), F.lit(1.0).alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(cfg.ppr_max_iter):
         prev = ranks
@@ -90,7 +93,7 @@ def personalized_pagerank(
             spread.union(teleport)
             .groupBy("seed", "node")
             .agg(F.sum("rank").alias("rank"))
-            .localCheckpoint()  # truncate lineage every iteration
+            .localCheckpoint(eager=False)  # truncate lineage, no job barrier
         )
         if check_delta:
             delta = (
@@ -107,7 +110,9 @@ def personalized_pagerank(
             )
             if delta is not None and delta < cfg.ppr_tol:
                 break
-    trans.unpersist()
+    # trans stays persisted: with lazy checkpoints nothing has
+    # materialized yet — unpersisting here would force 3 recomputes of
+    # the row-normalization when the caller finally acts on the ranks
     return ranks
 
 

@@ -2,22 +2,40 @@
 
 Stage graph (each stage a committed snapshot, resumable):
 
-  transcripts ─→ mentions ─→ coref ─→ block keys ─→ candidate pairs
-       │                        │                        │
-       │                        └→ co-occur edges ─→ PPR signatures
-       │                                                 │
-       └→ alias_dict ─→ candidates (priors)              │
-                                │                        │
-                     pair features (string ⊕ sig ⊕ prior)┘
-                                │
-                     score → threshold → match edges
-                                │
-                     connected components → clusters
+  transcripts ─→ mentions ─→ coref ─→ DISTINCT SURFACES
+                     │                     │
+                     │               block keys → surface pairs
+                     │                     │
+                     └→ co-occur edges ─→ PPR signatures ──┐
+                                           │               │
+  alias_dict ─→ surface candidates (priors)│               │
+                          │                │               │
+                 surface-pair features (string ⊕ sig ⊕ prior)
+                          │
+               score → gate → match edges (surface graph)
+                          │
+               connected components → surface clusters
+                          │
+               mentions ⋈ surface cluster → mention clusters
+
+THE SCALE DECISION: every quadratic step — blocking self-join, string
+scoring, signature similarity, clustering — runs over DISTINCT
+NORMALIZED SURFACES (the name dictionary), never over mention
+occurrences. A 10^12-turn corpus has ~10^6-10^7 distinct surfaces;
+mention assignment back to clusters is one broadcast-able equi-join.
+This mirrors the reference, whose candidate selection probes the alias
+dictionary by surface form (``CandidateSelectionLucene.java:90-117``) —
+occurrences never enter its quadratic machinery either.
+
+(When surface-level identity is insufficient — ambiguous acronyms that
+need per-mention context — a second, mention-level disambiguation pass
+over ONLY the ambiguous surfaces applies; that set is tiny by
+construction. Per-mention context features live in operators/tfidf.py.)
 
 Replaces the reference's per-document in-heap loop
 (``SemanticSignatureEL.java:576-723``) with set-at-a-time dataflow; the
-iterative confident-decision feedback becomes transitive closure (G7→G8
-recast, per the north rule).
+iterative confident-decision feedback becomes transitive closure
+(G7→G8 recast, per the north rule).
 """
 
 from __future__ import annotations
@@ -36,9 +54,10 @@ from wned_spark.plans.catalog import Catalog
 @dataclass
 class PipelineResult:
     mentions: DataFrame
-    pairs: DataFrame
-    scored: DataFrame
-    clusters: DataFrame
+    pairs: DataFrame        # surface-level scored pair inputs
+    scored: DataFrame       # surface pairs + features + score
+    surface_clusters: DataFrame
+    clusters: DataFrame     # mention-level assignment
     metrics: dict
 
 
@@ -52,117 +71,142 @@ def run_er_pipeline(
     gold_mentions: DataFrame | None = None,
 ) -> PipelineResult:
     """Run the full ER pipeline. With a ``catalog``, every stage is a
-    committed resumable snapshot; without, everything stays lazy/cached.
-    """
+    committed resumable snapshot; without, stages persist in memory."""
 
     def stage(name: str, fn, **kw) -> DataFrame:
         if catalog is not None:
             return catalog.run_stage(name, fn, **kw)
-        # no catalog: persist so multi-consumer stages don't recompute
         return fn().persist()
 
     # ---- mention extraction + doc-local coref (N1/J6) ----
     mentions = stage("mentions", lambda: mention_ops.extract_mentions(transcripts))
     mentions = stage("mentions_coref", lambda: mention_ops.resolve_coref(mentions))
 
-    # ---- blocking → candidate pairs (J2) ----
-    pairs = stage("candidate_pairs", lambda: blocking.candidate_pairs(mentions, cfg))
+    # ---- distinct surfaces + blocked surface pairs (J2) ----
+    surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
+    pairs = stage(
+        "surface_pairs", lambda: blocking.candidate_surface_pairs(surfaces, cfg)
+    )
 
-    # ---- string features on DISTINCT surface pairs (R2-R4/R15) ----
-    def _feat():
-        sp = pairs.select("left_norm", "right_norm").distinct()
-        return scoring.score_surface_pairs(sp, cfg)
-
-    surface_feats = stage("surface_features", _feat)
-
-    feats = pairs.join(surface_feats, ["left_norm", "right_norm"], "left")
+    # ---- string features (R2-R4/R15 + SoftTFIDF) ----
+    feats = stage(
+        "surface_features",
+        lambda: scoring.score_surface_pairs(
+            pairs.select("left_norm", "right_norm"), cfg
+        ),
+    )
+    feats = pairs.join(feats, ["left_norm", "right_norm"], "left")
 
     # ---- PPR semantic signatures (G1/G3/G5, J7/J8) ----
     if use_signatures:
-        def _edges():
-            return graph.build_cooccurrence_edges(mentions, cfg)
-
-        edges = stage("cooccur_edges", _edges)
+        edges = stage("cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg))
 
         def _sigs():
             seeds = (
-                pairs.select(graph.node_id(F.col("left_norm")).alias("seed"))
-                .union(pairs.select(graph.node_id(F.col("right_norm")).alias("seed")))
+                pairs.select(F.col("left_sid").alias("seed"))
+                .union(pairs.select(F.col("right_sid").alias("seed")))
                 .distinct()
             )
             return ppr.personalized_pagerank(seeds, edges, cfg, check_delta=cfg.ppr_check_delta)
 
         sigs = stage("ppr_signatures", _sigs)
-
-        node_pairs = (
-            pairs.select(
-                graph.node_id(F.col("left_norm")).alias("seed_a"),
-                graph.node_id(F.col("right_norm")).alias("seed_b"),
-            ).distinct()
-        )
+        node_pairs = pairs.select(
+            F.col("left_sid").alias("seed_a"), F.col("right_sid").alias("seed_b")
+        ).distinct()
         sig_sim = ppr.signature_cosine(node_pairs, sigs)
         feats = (
-            feats.withColumn("seed_a", graph.node_id(F.col("left_norm")))
-            .withColumn("seed_b", graph.node_id(F.col("right_norm")))
-            .join(sig_sim, ["seed_a", "seed_b"], "left")
-            .na.fill({"sig_cosine": 0.0})
+            feats.join(
+                sig_sim,
+                (feats["left_sid"] == sig_sim["seed_a"]) & (feats["right_sid"] == sig_sim["seed_b"]),
+                "left",
+            )
             .drop("seed_a", "seed_b")
-        )
-        # identical surfaces never form a pair with themselves at the
-        # node level but may at mention level — perfect signature match
-        feats = feats.withColumn(
-            "sig_cosine",
-            F.when(F.col("left_norm") == F.col("right_norm"), F.lit(1.0)).otherwise(
-                F.col("sig_cosine")
-            ),
+            .na.fill({"sig_cosine": 0.0})
         )
 
-    # ---- prior feature via alias dictionary (J1/A2) ----
+    # ---- prior feature via alias dictionary at surface level (J1/A2) ----
     if alias_raw is not None:
         alias_dict = stage("alias_dict", lambda: cand_ops.build_alias_dict(alias_raw))
-        cands = stage("candidates", lambda: cand_ops.select_candidates(mentions, alias_dict, cfg))
-        sp = scoring.shared_prior_feature(pairs, cands)
-        feats = feats.join(sp, ["left_id", "right_id"], "left").na.fill({"shared_prior": 0.0})
+        cands = stage(
+            "surface_candidates",
+            lambda: cand_ops.select_candidates(
+                surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
+            ),
+        )
+        cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
+        cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
+        shared = (
+            pairs.select("left_sid", "right_sid")
+            .join(cl, "left_sid")
+            .join(cr, ["right_sid", "entity_id"])
+            .groupBy("left_sid", "right_sid")
+            .agg(F.max(F.least("p_l", "p_r")).alias("shared_prior"))
+        )
+        feats = feats.join(shared, ["left_sid", "right_sid"], "left").na.fill(
+            {"shared_prior": 0.0}
+        )
 
-    # ---- combine + threshold (R1) ----
-    def _scored():
-        return scoring.combine_scores(feats, cfg)
+    # ---- combine + gate (R1) ----
+    scored = stage("scored_pairs", lambda: scoring.combine_scores(feats, cfg))
 
-    scored = stage("scored_pairs", _scored)
-
-    # ---- match edges → connected components (G8) ----
-    def _clusters():
+    # ---- match edges → connected components on the surface graph (G8) ----
+    def _surface_clusters():
         gate = F.col("score") >= cfg.match_threshold
         if "name_soft" in scored.columns:
             gate = gate & (F.col("name_soft") >= cfg.soft_gate)
         edges_m = scored.filter(gate).select(
-            F.col("left_id").alias("u"), F.col("right_id").alias("v")
+            F.col("left_sid").alias("u"), F.col("right_sid").alias("v")
         )
         comp = cc.connected_components(edges_m, cfg.cc_max_iter)
-        all_mentions = mentions.select(F.col("mention_id").alias("node"))
         return (
-            all_mentions.join(comp, "node", "left")
+            surfaces.select(F.col("sid").alias("node"), "sn")
+            .join(comp, "node", "left")
             .select(
-                F.col("node").alias("mention_id"),
+                F.col("node").alias("sid"),
+                "sn",
                 F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
             )
         )
 
+    surface_clusters = stage("surface_clusters", _surface_clusters)
+
+    # ---- mention assignment: one equi-join on the surface key ----
+    def _clusters():
+        key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+        # no broadcast hint: the dictionary usually fits (AQE broadcasts
+        # it automatically below the threshold) but at 10^7+ surfaces a
+        # sort-merge join is the right plan and the hint would force a
+        # driver OOM instead
+        return mentions.select(
+            "mention_id", F.xxhash64(F.col(key_col)).alias("sid")
+        ).join(
+            surface_clusters.select("sid", "cluster_id"), "sid"
+        ).select("mention_id", "cluster_id")
+
     clusters = stage("clusters", _clusters)
 
+    # ---- evaluation (test harness only — quadratic mention pairs) ----
     metrics: dict = {}
     if gold_mentions is not None:
+        mention_pairs = blocking.candidate_pairs(mentions, cfg)
         gold_keyed = gold_mentions.select(
             F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"), "entity_id"
         )
-        labeled = label_pairs(scored.select("left_id", "right_id"), gold_keyed)
-        cl = clusters.select(F.col("mention_id").alias("left_id"), F.col("cluster_id").alias("cl_l"))
-        cr = clusters.select(F.col("mention_id").alias("right_id"), F.col("cluster_id").alias("cl_r"))
+        labeled = label_pairs(mention_pairs.select("left_id", "right_id"), gold_keyed)
+        cl_ = clusters.select(F.col("mention_id").alias("left_id"), F.col("cluster_id").alias("cl_l"))
+        cr_ = clusters.select(F.col("mention_id").alias("right_id"), F.col("cluster_id").alias("cl_r"))
         labeled = (
-            labeled.join(cl, "left_id")
-            .join(cr, "right_id")
+            labeled.join(cl_, "left_id")
+            .join(cr_, "right_id")
             .withColumn("predicted", F.col("cl_l") == F.col("cl_r"))
         )
         metrics = pairwise_prf(labeled)
 
-    return PipelineResult(mentions=mentions, pairs=pairs, scored=scored, clusters=clusters, metrics=metrics)
+    return PipelineResult(
+        mentions=mentions,
+        pairs=pairs,
+        scored=scored,
+        surface_clusters=surface_clusters,
+        clusters=clusters,
+        metrics=metrics,
+    )
