@@ -119,3 +119,37 @@ def test_connected_components_min_id_convention(spark):
     comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert comp[5] == 3 and comp[9] == 3 and comp[3] == 3
     assert comp[100] == 50 and comp[50] == 50
+
+
+def test_ppr_broadcast_matches_join_based(spark):
+    """The broadcast-graph PPR must agree with the join-based variant
+    (and thus the numpy oracle) on random graphs, including dangling
+    and isolated seeds."""
+    from wned_spark.operators.ppr import personalized_pagerank_broadcast
+
+    rng = random.Random(9)
+    n = 20
+    edge_list = []
+    seen = set()
+    for _ in range(50):
+        s, d = rng.randrange(n), rng.randrange(n)
+        if s != d and (s, d) not in seen:
+            seen.add((s, d))
+            edge_list.append((s, d, float(rng.randint(1, 5))))
+    edge_list = [(s, d, w) for s, d, w in edge_list if s != 19]  # dangling 19
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d, weight=w) for s, d, w in edge_list]
+    )
+    seeds = spark.createDataFrame([Row(seed=i) for i in [0, 3, 19, 77]])  # 77 isolated
+    cfg = ERConfig(ppr_max_iter=3)
+    ref = {(r["seed"], r["node"]): r["rank"]
+           for r in personalized_pagerank(seeds, edges, cfg, check_delta=False).collect()}
+    got = {(r["seed"], r["node"]): r["rank"]
+           for r in personalized_pagerank_broadcast(seeds, edges, cfg).collect()}
+    # broadcast variant treats a dangling SEED as a fixed point at
+    # itself, which equals the strongly-preferential stationary rule
+    # for a node with no out-edges
+    assert set(got) >= {k for k in ref if abs(ref[k]) > 1e-12}
+    for k, v in ref.items():
+        if abs(v) > 1e-12:
+            assert abs(got[k] - v) < 1e-9, (k, v, got.get(k))

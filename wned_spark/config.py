@@ -31,16 +31,20 @@ class ERConfig:
     prior_floor: float = 2e-5
 
     # --- blocking (J2) ---
-    minhash_num_hashes: int = 16
-    minhash_band_size: int = 4  # 4 bands of 4
-    # typo recall is carried jointly by the affix keys (a single
-    # in-token edit keeps the 4-char prefix or suffix) and the bands;
-    # measured pair-recall at these settings is 1.0 while the blocked
-    # pair count stays ~70 per distinct surface
+    minhash_num_hashes: int = 48
+    minhash_band_size: int = 4  # 12 bands of 4: P(collide) = .99 at J=.75,
+    # .93 at J=.67 — strong enough that fuzzy recall no longer depends
+    # on hot affix blocks (which drop_block_size removes at scale)
     shingle_size: int = 2
     # token block keys with more rows than this are re-salted / dropped
     # as uninformative (Zipf-head stopword-like tokens)
     max_block_size: int = 50
+    # keys hotter than this are DROPPED, not salted: a block key shared
+    # by hundreds of surfaces (Zipf-head tokens, common 4-char affixes)
+    # is pure pair pollution — true variant pairs are carried by their
+    # rare keys (surname token, MinHash bands). Salting covers the
+    # middle range [max_block_size, drop_block_size].
+    drop_block_size: int = 400
     # 4-char prefix/suffix keys (typo recall); redundant with the
     # MinHash bands on most corpora — disable when band recall suffices
     affix_keys: bool = True
@@ -55,6 +59,15 @@ class ERConfig:
     # the delta check costs a full-outer join per iteration, so it is
     # off by default and available for convergence tests
     ppr_check_delta: bool = False
+    # top-K outgoing edges per node kept in the transition matrix (F7
+    # degree-threshold recast); None = unbounded
+    ppr_max_degree: int | None = 32
+    # transition graphs up to this many (capped) edges run the
+    # broadcast-matvec PPR (the reference's shared-in-heap-graph
+    # architecture, seeds fanned out across executors); larger graphs
+    # fall back to the shuffle-join implementation. 1e8 edges ~ 2.4 GB
+    # broadcast — comfortably within executor memory on a real cluster
+    ppr_broadcast_max_edges: int = 100_000_000
     cooccur_window_turns: int = 8  # analog of the <=1000-char window,
     # WikiGraphExtractor.java:70-77
     degree_floor: int = 0  # SubGraphGenerator.java:30-31 uses 200/600 on

@@ -97,6 +97,7 @@ def salt_hot_keys(keys: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     n_salts = F.ceil(F.col("key_freq") / cfg.max_block_size).cast("int")
     return (
         keys.join(freqs, "block_key")
+        .filter(F.col("key_freq") <= cfg.drop_block_size)
         .withColumn("n_salts", n_salts)
         .withColumn(
             "salt",

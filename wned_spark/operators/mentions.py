@@ -73,40 +73,53 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     ).withColumn("surface_norm", norm_surface(F.col("surface")))
 
 
-_COREF_SCHEMA = (
-    "conv_id string, turn_idx int, mention_id long, surface string, "
-    "start int, end int, surface_norm string, canon_norm string"
-)
-
-
 def resolve_coref(mentions: DataFrame) -> DataFrame:
     """Doc-local orthographic coref (ELUtils.java:178-208 semantics):
     within a conversation, a mention whose normalized surface is a
-    token-subsequence-prefix/suffix of a longer mention's surface is
-    re-pointed at the longest such surface ('canon_norm'). O(d²) per
-    conversation — bounded by mentions-per-conversation, executed as a
-    grouped pandas kernel (the reference does the same doc-local loop
-    in OrthoMatcherCoref.java:221-319).
+    token-subset of a longer surface in the same conversation is
+    re-pointed at the LONGEST such surface ('canon_norm').
+
+    Fully relational: per-conversation self-join over the distinct
+    (conv_id, surface) pairs (5-10 per conversation) with a JVM
+    token-containment predicate, longest-wins via a ranked window.
+    Replaces a grouped-pandas kernel that cost ~3ms of Python per
+    conversation -- at 10^9 conversations that was the pipeline's
+    largest non-JVM stage. Token-subset containment is transitive, so
+    single-step longest-container mapping equals the reference's
+    chain-following (s in L, L in L2 => s in L2;
+    OrthoMatcherCoref.java:221-278 does the same doc-local loop).
     """
+    from pyspark.sql import Window
 
-    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
-        uniq = sorted(set(pdf["surface_norm"]), key=lambda s: (-len(s), s))
-        canon = {}
-        for s in uniq:
-            toks = set(s.split(" "))
-            target = s
-            for longer in uniq:
-                if len(longer) <= len(s):
-                    break
-                lt = longer.split(" ")
-                # containment: every token of s appears in longer (order-free
-                # token containment — covers "Gardenbar" ⊂ "Alice Gardenbar")
-                if toks and toks.issubset(set(lt)):
-                    target = longer
-                    break
-            canon[s] = target
-        pdf = pdf.copy()
-        pdf["canon_norm"] = pdf["surface_norm"].map(canon)
-        return pdf
-
-    return mentions.groupBy("conv_id").applyInPandas(per_conv, schema=_COREF_SCHEMA)
+    cs = mentions.select("conv_id", "surface_norm").distinct()
+    toks = lambda c: F.array_distinct(F.split(c, r"\s+"))  # noqa: E731
+    a = cs.alias("a")
+    b = cs.alias("b")
+    contained = (
+        a.join(b, "conv_id")
+        .filter(
+            (F.length(F.col("b.surface_norm")) > F.length(F.col("a.surface_norm")))
+            & (
+                F.size(
+                    F.array_except(toks(F.col("a.surface_norm")), toks(F.col("b.surface_norm")))
+                )
+                == 0
+            )
+        )
+        .select(
+            "conv_id",
+            F.col("a.surface_norm").alias("surface_norm"),
+            F.col("b.surface_norm").alias("container"),
+        )
+    )
+    w = Window.partitionBy("conv_id", "surface_norm").orderBy(
+        F.desc(F.length("container")), F.asc("container")
+    )
+    longest = (
+        contained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "surface_norm", F.col("container").alias("canon"))
+    )
+    return mentions.join(longest, ["conv_id", "surface_norm"], "left").withColumn(
+        "canon_norm", F.coalesce(F.col("canon"), F.col("surface_norm"))
+    ).drop("canon")

@@ -32,15 +32,27 @@ from pyspark.sql import functions as F
 from wned_spark.config import ERConfig
 
 
-def normalize_transition(edges: DataFrame) -> DataFrame:
+def normalize_transition(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     """Row-normalize edge weights: P(src→dst) = w / sum_w(src).
     (WeightedPersonalizedPageRank.java:161-184 weight handling; F8
-    zero-weight arcs dropped.)"""
-    sums = edges.groupBy("src").agg(F.sum("weight").alias("wsum"))
-    return (
-        edges.filter(F.col("weight") > 0)
-        .join(sums, "src")
-        .select("src", "dst", (F.col("weight") / F.col("wsum")).alias("p"))
+    zero-weight arcs dropped.)
+
+    ``max_degree`` keeps only the top-K outgoing edges per node by
+    weight — the degree-threshold idea of the reference's subgraph
+    expansion (SubGraphGenerator.java:30-31) applied to transition
+    sparsity: hub surfaces otherwise blow the signature fan-out to
+    O(hub_degree) rows per seed per iteration."""
+    e = edges.filter(F.col("weight") > 0)
+    if max_degree is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+        e = e.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= max_degree
+        ).drop("_rk")
+    sums = e.groupBy("src").agg(F.sum("weight").alias("wsum"))
+    return e.join(sums, "src").select(
+        "src", "dst", (F.col("weight") / F.col("wsum")).alias("p")
     )
 
 
@@ -49,20 +61,38 @@ def personalized_pagerank(
     edges: DataFrame,
     cfg: ERConfig = ERConfig(),
     check_delta: bool = True,
+    symmetric: bool = False,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """seeds: (seed) node ids — each seed gets its own indicator
     preference vector (G5); edges: (src, dst, weight).
 
+    ``symmetric=True`` asserts every node reachable through an edge has
+    out-edges (true for mirrored undirected graphs): then the only
+    dangling mass is an ISOLATED seed, whose signature is the fixed
+    point {seed: 1.0} — handled once outside the loop, and the
+    per-iteration dangling scan + join disappear.
+
     Returns signatures ``(seed, node, rank)``.
     """
     alpha = cfg.ppr_alpha
-    trans = normalize_transition(edges).persist()
+    trans = normalize_transition(edges, max_degree=max_degree).persist()
     out_nodes = trans.select("src").distinct()
+
+    live_seeds = seeds
+    isolated = None
+    if symmetric:
+        live_seeds = seeds.join(
+            out_nodes, seeds["seed"] == out_nodes["src"], "left_semi"
+        ).persist()
+        isolated = seeds.join(
+            out_nodes, seeds["seed"] == out_nodes["src"], "left_anti"
+        ).select("seed", F.col("seed").alias("node"), F.lit(1.0).alias("rank"))
 
     # lazy checkpoints: lineage still truncates at materialization, but
     # no extra job barrier per iteration (3 fixed iterations keep the
     # un-truncated plan bounded anyway)
-    ranks = seeds.select(
+    ranks = live_seeds.select(
         F.col("seed"), F.col("seed").alias("node"), F.lit(1.0).alias("rank")
     ).localCheckpoint(eager=False)
 
@@ -74,21 +104,26 @@ def personalized_pagerank(
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
             .select("seed", F.col("dst").alias("node"), (alpha * F.col("mass")).alias("rank"))
         )
-        # dangling mass per seed: rank sitting on nodes with no out-edges
-        dangling = (
-            ranks.join(out_nodes, ranks["node"] == out_nodes["src"], "left_anti")
-            .groupBy("seed")
-            .agg(F.sum("rank").alias("dmass"))
-        )
-        teleport = (
-            seeds.join(dangling, "seed", "left")
-            .na.fill({"dmass": 0.0})
-            .select(
-                "seed",
-                F.col("seed").alias("node"),
-                ((1.0 - alpha) + alpha * F.col("dmass")).alias("rank"),
+        if symmetric:
+            teleport = live_seeds.select(
+                "seed", F.col("seed").alias("node"), F.lit(1.0 - alpha).alias("rank")
             )
-        )
+        else:
+            # dangling mass per seed: rank on nodes with no out-edges
+            dangling = (
+                ranks.join(out_nodes, ranks["node"] == out_nodes["src"], "left_anti")
+                .groupBy("seed")
+                .agg(F.sum("rank").alias("dmass"))
+            )
+            teleport = (
+                seeds.join(dangling, "seed", "left")
+                .na.fill({"dmass": 0.0})
+                .select(
+                    "seed",
+                    F.col("seed").alias("node"),
+                    ((1.0 - alpha) + alpha * F.col("dmass")).alias("rank"),
+                )
+            )
         ranks = (
             spread.union(teleport)
             .groupBy("seed", "node")
@@ -113,6 +148,8 @@ def personalized_pagerank(
     # trans stays persisted: with lazy checkpoints nothing has
     # materialized yet — unpersisting here would force 3 recomputes of
     # the row-normalization when the caller finally acts on the ranks
+    if isolated is not None:
+        ranks = ranks.union(isolated)
     return ranks
 
 
@@ -154,3 +191,104 @@ def signature_cosine(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
             cosine_expr(F.col("dot"), F.col("norm_a"), F.col("norm_b")).alias("sig_cosine"),
         )
     )
+
+
+def personalized_pagerank_broadcast(
+    seeds: DataFrame,
+    edges: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Broadcast-graph PPR: same semantics as ``personalized_pagerank``
+    (alpha, 3 iterations, strongly-preferential dangling) computed by
+    shipping the row-normalized transition matrix (CSR in plain numpy
+    arrays) to every executor and fanning SEEDS out via mapInPandas.
+
+    This is the reference's own architecture — one shared in-heap graph,
+    per-seed parallel walks (WeightedPersonalizedPageRank.java:233-266) —
+    re-expressed with Spark distributing the seed batches. It is the
+    right plan whenever the DICTIONARY graph fits executor memory
+    (10^8 edges ~ 2.4 GB), which holds far past 100 TB of input text;
+    the join-based variant above remains the fallback for graphs that
+    don't.
+
+    Embarrassingly parallel: zero shuffles after the one-time broadcast;
+    scaling is linear in cores.
+    """
+    import numpy as np
+    import pandas as pd
+
+    alpha = cfg.ppr_alpha
+    # Arrow-path collect (toPandas), not row-object collect — the
+    # transition table is millions of rows and py4j row marshalling is
+    # a single-threaded driver bottleneck
+    tpdf = normalize_transition(edges, max_degree=max_degree).toPandas()
+    raw_src = tpdf["src"].to_numpy(dtype=np.int64)
+    raw_dst = tpdf["dst"].to_numpy(dtype=np.int64)
+    p = tpdf["p"].to_numpy(dtype=np.float64)
+    # dense-rank node ids into [0, n)
+    uniq = np.unique(np.concatenate([raw_src, raw_dst]))
+    n = len(uniq)
+    src = np.searchsorted(uniq, raw_src)
+    dst = np.searchsorted(uniq, raw_dst)
+    node_ids = {int(v): i for i, v in enumerate(uniq)}
+    order = np.argsort(src, kind="stable")
+    src, dst, p = src[order], dst[order], p[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[src] = True
+    rev_ids = uniq  # dense index -> original node id
+
+    sc = seeds.sparkSession.sparkContext
+    bc = sc.broadcast((n, indptr, dst, p, has_out, rev_ids, node_ids))
+
+    def run_batch(batches):
+        n_, indptr_, dst_, p_, has_out_, rev_, ids_ = bc.value
+        for pdf in batches:
+            out_seed, out_node, out_rank = [], [], []
+            for raw_seed in pdf["seed"]:
+                raw_seed = int(raw_seed)
+                six = ids_.get(raw_seed)
+                if six is None or not has_out_[six]:
+                    # isolated / dangling-only seed: fixed point at itself
+                    out_seed.append(raw_seed)
+                    out_node.append(raw_seed)
+                    out_rank.append(1.0)
+                    continue
+                idx = np.array([six], dtype=np.int64)
+                val = np.array([1.0])
+                for _ in range(cfg.ppr_max_iter):
+                    # spread: alpha * sum over nonzeros of val * P[row].
+                    # accumulation stays sparse — sized by the frontier's
+                    # nonzeros, never by |V| (a full-length bincount per
+                    # seed per iteration is O(|V|) and dominates at scale)
+                    counts = indptr_[idx + 1] - indptr_[idx]
+                    dangling = float(val[counts == 0].sum())
+                    nz = counts > 0
+                    if nz.any():
+                        starts = indptr_[idx[nz]]
+                        lens = counts[nz]
+                        flat = np.concatenate(
+                            [np.arange(s, s + l) for s, l in zip(starts, lens)]
+                        )
+                        cat_i = dst_[flat]
+                        cat_v = np.repeat(val[nz], lens) * p_[flat]
+                        # append the teleport entry, then sparse-aggregate
+                        cat_i = np.append(cat_i, six)
+                        cat_v = np.append(cat_v * alpha,
+                                          (1.0 - alpha) + alpha * dangling)
+                        idx, inv = np.unique(cat_i, return_inverse=True)
+                        val = np.bincount(inv, weights=cat_v)
+                    else:
+                        idx = np.array([six], dtype=np.int64)
+                        val = np.array([(1.0 - alpha) + alpha * dangling])
+                out_seed.extend([raw_seed] * len(idx))
+                out_node.extend(rev_[idx].tolist())
+                out_rank.extend(val.tolist())
+            yield pd.DataFrame({"seed": out_seed, "node": out_node, "rank": out_rank})
+
+    return seeds.select(F.col("seed").cast("long")).repartition(
+        seeds.sparkSession.sparkContext.defaultParallelism
+    ).mapInPandas(run_batch, schema="seed long, node long, rank double")

@@ -73,10 +73,23 @@ def run_er_pipeline(
     """Run the full ER pipeline. With a ``catalog``, every stage is a
     committed resumable snapshot; without, stages persist in memory."""
 
+    import os
+    import time as _time
+
+    timing = os.environ.get("WNED_STAGE_TIMING") == "1"
+
     def stage(name: str, fn, **kw) -> DataFrame:
         if catalog is not None:
             return catalog.run_stage(name, fn, **kw)
-        return fn().persist()
+        # materialize eagerly: one cheap count per stage lets AQE see
+        # the TRUE size of every stage input downstream (broadcast vs
+        # sort-merge decisions come from runtime stats, not estimates)
+        t0 = _time.time()
+        d = fn().persist()
+        n = d.count()
+        if timing:
+            print(f"[stage] {name}: {_time.time()-t0:.1f}s rows={n}", flush=True)
+        return d
 
     # ---- mention extraction + doc-local coref (N1/J6) ----
     mentions = stage("mentions", lambda: mention_ops.extract_mentions(transcripts))
@@ -97,32 +110,55 @@ def run_er_pipeline(
     )
     feats = pairs.join(feats, ["left_norm", "right_norm"], "left")
 
+    # ---- CASCADE GATE ----
+    # name_soft >= soft_gate is a hard precondition of the final match
+    # decision, so pairs below it can never produce an edge — prune
+    # them BEFORE the expensive signature/prior joins. At scale this
+    # drops ~95% of blocked pairs, and the PPR seed set shrinks to the
+    # surfaces that still matter. (The reference gates fuzzy candidates
+    # the same way before scoring — CSUtils.java:53-78.)
+    gated = stage(
+        "gated_pairs", lambda: feats.filter(F.col("name_soft") >= cfg.soft_gate)
+    )
+    survivors = gated
+
     # ---- PPR semantic signatures (G1/G3/G5, J7/J8) ----
+    # NOTE every auxiliary feature (sig_sim, shared prior) is derived
+    # from the PERSISTED gated stage — deriving one from the already-
+    # feature-joined DataFrame would embed the other feature's whole
+    # subplan in its lineage (left joins are not prunable) and compute
+    # it twice.
     if use_signatures:
         edges = stage("cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg))
 
         def _sigs():
             seeds = (
-                pairs.select(F.col("left_sid").alias("seed"))
-                .union(pairs.select(F.col("right_sid").alias("seed")))
+                gated.select(F.col("left_sid").alias("seed"))
+                .union(gated.select(F.col("right_sid").alias("seed")))
                 .distinct()
             )
-            return ppr.personalized_pagerank(seeds, edges, cfg, check_delta=cfg.ppr_check_delta)
+            if edges.count() <= cfg.ppr_broadcast_max_edges:
+                return ppr.personalized_pagerank_broadcast(
+                    seeds, edges, cfg, max_degree=cfg.ppr_max_degree
+                )
+            return ppr.personalized_pagerank(
+                seeds, edges, cfg, check_delta=cfg.ppr_check_delta,
+                symmetric=True, max_degree=cfg.ppr_max_degree,
+            )
 
         sigs = stage("ppr_signatures", _sigs)
-        node_pairs = pairs.select(
+        node_pairs = gated.select(
             F.col("left_sid").alias("seed_a"), F.col("right_sid").alias("seed_b")
         ).distinct()
-        sig_sim = ppr.signature_cosine(node_pairs, sigs)
-        feats = (
-            feats.join(
-                sig_sim,
-                (feats["left_sid"] == sig_sim["seed_a"]) & (feats["right_sid"] == sig_sim["seed_b"]),
-                "left",
-            )
-            .drop("seed_a", "seed_b")
-            .na.fill({"sig_cosine": 0.0})
+        sig_sim = stage(
+            "sig_similarity",
+            lambda: ppr.signature_cosine(node_pairs, sigs).withColumnRenamed(
+                "seed_a", "left_sid"
+            ).withColumnRenamed("seed_b", "right_sid"),
         )
+        survivors = survivors.join(
+            sig_sim, ["left_sid", "right_sid"], "left"
+        ).na.fill({"sig_cosine": 0.0})
 
     # ---- prior feature via alias dictionary at surface level (J1/A2) ----
     if alias_raw is not None:
@@ -136,25 +172,23 @@ def run_er_pipeline(
         cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
         cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
         shared = (
-            pairs.select("left_sid", "right_sid")
+            gated.select("left_sid", "right_sid")
             .join(cl, "left_sid")
             .join(cr, ["right_sid", "entity_id"])
             .groupBy("left_sid", "right_sid")
             .agg(F.max(F.least("p_l", "p_r")).alias("shared_prior"))
         )
-        feats = feats.join(shared, ["left_sid", "right_sid"], "left").na.fill(
+        survivors = survivors.join(shared, ["left_sid", "right_sid"], "left").na.fill(
             {"shared_prior": 0.0}
         )
 
     # ---- combine + gate (R1) ----
-    scored = stage("scored_pairs", lambda: scoring.combine_scores(feats, cfg))
+    scored = stage("scored_pairs", lambda: scoring.combine_scores(survivors, cfg))
 
     # ---- match edges → connected components on the surface graph (G8) ----
     def _surface_clusters():
-        gate = F.col("score") >= cfg.match_threshold
-        if "name_soft" in scored.columns:
-            gate = gate & (F.col("name_soft") >= cfg.soft_gate)
-        edges_m = scored.filter(gate).select(
+        # (name_soft >= soft_gate already enforced by the cascade)
+        edges_m = scored.filter(F.col("score") >= cfg.match_threshold).select(
             F.col("left_sid").alias("u"), F.col("right_sid").alias("v")
         )
         comp = cc.connected_components(edges_m, cfg.cc_max_iter)
