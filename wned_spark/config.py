@@ -48,7 +48,9 @@ class ERConfig:
     # 4-char prefix/suffix keys (typo recall); redundant with the
     # MinHash bands on most corpora — disable when band recall suffices
     affix_keys: bool = True
-    jw_gate: float = 0.8  # CSUtils.java:53-78
+    # (the reference's JW >= 0.8 fuzzy-candidate gate, CSUtils.java:53-78,
+    # is strengthened here to the SoftTFIDF cascade gate ``soft_gate`` —
+    # there is deliberately no separate JW knob)
 
     # --- PPR semantic signatures (G3/G5) ---
     ppr_alpha: float = 0.85
@@ -65,9 +67,10 @@ class ERConfig:
     # transition graphs up to this many (capped) edges run the
     # broadcast-matvec PPR (the reference's shared-in-heap-graph
     # architecture, seeds fanned out across executors); larger graphs
-    # fall back to the shuffle-join implementation. 1e8 edges ~ 2.4 GB
-    # broadcast — comfortably within executor memory on a real cluster
-    ppr_broadcast_max_edges: int = 100_000_000
+    # fall back to the shuffle-join implementation. 1e7 edges ≈ 280 MB
+    # of CSR numpy on the driver and per executor — a safe default;
+    # raise it only with driver/executor heap sized for ~28 bytes/edge
+    ppr_broadcast_max_edges: int = 10_000_000
     cooccur_window_turns: int = 8  # analog of the <=1000-char window,
     # WikiGraphExtractor.java:70-77
     degree_floor: int = 0  # SubGraphGenerator.java:30-31 uses 200/600 on

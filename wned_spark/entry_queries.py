@@ -163,14 +163,19 @@ def a4_tfidf(spark, sf_dir):
              SUM(CASE WHEN NOT predicted AND is_match THEN 1 ELSE 0 END) AS fn
       FROM pairs)
     SELECT tp, fp, fn,
-           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+           (tp * 1000000) // (tp + fp) AS precision_ppm,
+           (tp * 1000000) // (tp + fn) AS recall_ppm
     FROM m
     """,
 )
 def a8_pairwise_prf(spark, sf_dir):
     """A8: the pairwise P/R harness (Evaluation.java:154-160 recast) on
-    a deterministic toy predictor (same-segment vs same-nation)."""
+    a deterministic toy predictor (same-segment vs same-nation).
+
+    Precision/recall are emitted as exact INTEGER parts-per-million
+    (tp*1e6 div (tp+fp)): double division rounded to 6dp can flip the
+    last digit between engines at a half-ulp boundary; integer division
+    is bit-identical everywhere."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
     a, b = c.alias("a"), c.alias("b")
     pairs = a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey")).select(
@@ -184,8 +189,8 @@ def a8_pairwise_prf(spark, sf_dir):
     )
     return m.select(
         "tp", "fp", "fn",
-        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
-        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.expr("div(tp * 1000000, tp + fp)").alias("precision_ppm"),
+        F.expr("div(tp * 1000000, tp + fn)").alias("recall_ppm"),
     )
 
 
@@ -775,7 +780,7 @@ def dedup_simhash(spark, sf_dir):
     from wned_spark.operators.dedup import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3, num_bits=16)
+    return simhash_near_duplicates(d, max_hamming=3)  # 64-bit default
 
 
 @register("dedup_embedding", None)  # xxhash64 LSH buckets → rows-only

@@ -3,11 +3,11 @@
 Replaces the Lucene alias-index probe path
 (``cs/CandidateSelectionLucene.java:90-151``) with declarative joins:
 
-- J1: mentions ⋈ alias_dict equi-join on the normalized surface
-  (broadcast when the dictionary is small; at 100 TB the dictionary is
-  still the small side — alias universes are millions of rows, not
-  billions — so the broadcast survives scale-up; fall back to a salted
-  sort-merge join only if it doesn't fit).
+- J1: mentions ⋈ alias_dict equi-join on the normalized surface.
+  AQE picks the physical strategy from runtime stats: broadcast while
+  the dictionary fits (alias universes are usually millions of rows,
+  not billions), sort-merge with skew-split beyond that — no forced
+  hint, so neither regime OOMs.
 - A2: prior = freq / sum(freq) per alias (``CandidateSelectionLucene.java:119-124``).
 - F4: per-source prior thresholds (link: 0.005, other: 0.001,
   ``CandidateSelectionLucene.java:38,128-131``).
@@ -56,8 +56,12 @@ def select_candidates(
     the reference's candidate machinery is surface-level too.
     """
     key = key_col or ("canon_norm" if "canon_norm" in mentions.columns else "surface_norm")
+    # no broadcast hint: AQE broadcasts the dictionary automatically
+    # when it fits under the threshold; a forced hint on a 10^8-row
+    # alias table would OOM the driver instead of degrading to a
+    # (salted, AQE-skew-split) sort-merge join
     joined = mentions.join(
-        F.broadcast(alias_dict),
+        alias_dict,
         mentions[key] == alias_dict["alias_norm"],
         "inner",
     )

@@ -133,23 +133,25 @@ def minhash_duplicate_pairs(
 
 
 def simhash(col, num_bits: int = 64):
-    """64-bit SimHash over word tokens, pure expressions: for each bit b,
+    """SimHash over word tokens, pure expressions: for each bit b,
     sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
-    Computed as a packed bigint via bitwise ops on token hashes."""
+    Packed into one bigint via shiftleft + bitwise OR (Python ``1<<63``
+    literals overflow LongType; JVM shiftleft wraps to the sign bit,
+    which is the correct bit pattern)."""
     toks = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bits = []
+
+    def vote_merge(bitmask):
+        # closure factory: F.aggregate inspects lambda arity, so the
+        # bitmask must be captured, not passed as a defaulted param
+        return lambda acc, h: acc + F.when(h.bitwiseAND(bitmask) != 0, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
     for b in range(num_bits):
         # +1 when bit set else -1, summed over tokens → sign = bit b
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-        )
-        bits.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
+        bitmask = F.shiftleft(F.lit(1).cast("long"), b)
+        vote = F.aggregate(hashes, F.lit(0), vote_merge(bitmask))
+        out = out.bitwiseOR(F.when(vote > 0, bitmask).otherwise(F.lit(0).cast("long")))
     return out
 
 
@@ -158,30 +160,34 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    num_bits: int = 16,
+    num_bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket on byte-bands of the simhash
-    (a pair within hamming distance k collides on >=1 of k+1 bands),
-    verify with exact popcount. num_bits kept small by default — 16
-    bits / 4 bands covers the common near-dup regime; raise for 64."""
+    """SimHash near-dup pairs: bucket on bit-bands of the simhash
+    (a pair within hamming distance k collides on >=1 of k+1 bands —
+    pigeonhole), verify with exact popcount.
+
+    DEFAULT 64 BITS. At 64 bits / 4 bands each band key has 2^16
+    distinct values, so band buckets hold ~n/65536 docs and the
+    band self-join stays near-linear. (A 16-bit simhash gives 16
+    values per band → bucket sizes O(n/16) → the self-join degenerates
+    to ~all-pairs on a large corpus; never ship that default.)"""
     n_bands = max_hamming + 1
     band_bits = num_bits // n_bands
+
+    def band_expr(i):
+        # unsigned shift: the top band must not sign-extend; a band
+        # spanning the whole long (max_hamming=0) needs no mask (and
+        # (1<<64)-1 wouldn't fit a LongType literal anyway)
+        shifted = F.shiftrightunsigned(F.col("sh"), i * band_bits)
+        if band_bits < 63:
+            shifted = shifted.bitwiseAND(F.lit((1 << band_bits) - 1).cast("long"))
+        return F.concat_ws(":", F.lit(i), shifted.cast("string"))
+
     sh = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), num_bits).alias("sh"))
     bands = sh.select(
         "doc",
         "sh",
-        F.explode(
-            F.array(*[
-                F.concat_ws(
-                    ":",
-                    F.lit(i),
-                    F.shiftright(F.col("sh"), i * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .cast("string"),
-                )
-                for i in range(n_bands)
-            ])
-        ).alias("band"),
+        F.explode(F.array(*[band_expr(i) for i in range(n_bands)])).alias("band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -223,62 +229,65 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
+    planes: int | None = None,
+    n_tables: int = 8,
+    target_bucket: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: brute-force within random-
-    projection LSH buckets (sign of dot with pinned pseudo-random
-    hyperplanes, derived from xxhash64 — deterministic, no driver RNG).
+    """Embedding-cosine near-dup pairs: exact-cosine verification of
+    candidates from ``n_tables`` independent random-projection sign
+    buckets (hyperplanes pinned from xxhash64 — deterministic, no
+    driver RNG).
 
-    The bucket key collapses the O(n²) comparison to within-bucket
-    pairs; near-identical vectors agree on all signs with high
-    probability."""
-    dim_probe = F.size(F.col(vec_col))
-    vecs = embeddings.select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), dim_probe.alias("d")
-    )
-    # 8 hyperplanes: component j of plane p = hash(p, j) mapped to ±1
-    planes = 8
-    sign_bits = []
-    for p in range(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.transform(
-                    F.sequence(F.lit(0), F.col("d") - 1),
-                    lambda j, p=p: F.when(
-                        F.xxhash64(F.lit(p * 131071), j) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    key = sign_bits[0]
-    for x in sign_bits[1:]:
-        key = key + x
-    bucketed = vecs.withColumn("bucket", key)
+    SCALE DESIGN — the bucket count must grow with the corpus:
+    ``planes`` defaults to ceil(log2(n / target_bucket)) clamped to
+    [8, 24], so expected bucket occupancy stays ~``target_bucket``
+    and the within-bucket self-join stays near-linear regardless of n
+    (a fixed plane count caps the partition at 2^planes buckets — a
+    10^9-row corpus would put ~n/256 vectors in each and go quadratic).
+    RECALL comes from the table count, not from fewer planes: a pair at
+    angle θ agrees per-plane w.p. 1-θ/π, per-table w.p. (1-θ/π)^planes,
+    overall 1-(1-p_table)^n_tables. At cosine 0.95 / 16 planes that is
+    ~0.18 per table → ~0.80 at 8 tables, rising steeply toward 1.0 for
+    the truly-near duplicates this operator targets."""
+    if planes is None:
+        import math
+
+        n = embeddings.count()
+        planes = max(8, min(24, math.ceil(math.log2(max(2, n) / target_bucket)) if n > target_bucket else 8))
+
+    from wned_spark.operators.ann import _rp_bucket_t
+
+    vecs = embeddings.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v")).persist()
+    buckets = [_rp_bucket_t(F.col("v"), planes, t) for t in range(n_tables)]
+    # only (doc, bucket) rides the self-join shuffle; vectors join back
+    # per DISTINCT candidate pair (same shape as MinHash-LSH above)
+    bucketed = vecs.select("doc", F.explode(F.array(*buckets)).alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand_ids = (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("left_doc"), F.col("b.doc").alias("right_doc"))
+        .distinct()
+    )
+    cand = cand_ids.join(
+        vecs.select(F.col("doc").alias("left_doc"), F.col("v").alias("v_l")), "left_doc"
+    ).join(
+        vecs.select(F.col("doc").alias("right_doc"), F.col("v").alias("v_r")), "right_doc"
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(F.col("v_l"), F.col("v_r"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.transform(F.col(f"{side}.v"), lambda x: x.cast("double") * x.cast("double")),
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        cand.withColumn("cosine", dot / (norm("v_l") * norm("v_r")))
         .filter(F.col("cosine") >= cosine_threshold)
-        .select(
-            F.col("a.doc").alias("left_doc"),
-            F.col("b.doc").alias("right_doc"),
-            "cosine",
-        )
+        .select("left_doc", "right_doc", "cosine")
     )

@@ -214,24 +214,29 @@ def personalized_pagerank_broadcast(
 
     Embarrassingly parallel: zero shuffles after the one-time broadcast;
     scaling is linear in cores.
+
+    Driver memory is bounded by the numpy CSR arrays alone (~28 bytes
+    per edge): the collect is Arrow-columnar (``toArrow`` → zero-copy
+    numpy views, no pandas block consolidation, no Python row objects)
+    and the node-id lookup is ``np.searchsorted`` over the sorted
+    unique-id array — no Python dict of node ids is ever built (a 1e8-
+    node dict alone would be ~10 GB of driver heap and would also ride
+    the broadcast pickle).
     """
     import numpy as np
     import pandas as pd
 
     alpha = cfg.ppr_alpha
-    # Arrow-path collect (toPandas), not row-object collect — the
-    # transition table is millions of rows and py4j row marshalling is
-    # a single-threaded driver bottleneck
-    tpdf = normalize_transition(edges, max_degree=max_degree).toPandas()
-    raw_src = tpdf["src"].to_numpy(dtype=np.int64)
-    raw_dst = tpdf["dst"].to_numpy(dtype=np.int64)
-    p = tpdf["p"].to_numpy(dtype=np.float64)
+    tarrow = normalize_transition(edges, max_degree=max_degree).toArrow()
+    raw_src = tarrow.column("src").to_numpy().astype(np.int64, copy=False)
+    raw_dst = tarrow.column("dst").to_numpy().astype(np.int64, copy=False)
+    p = tarrow.column("p").to_numpy().astype(np.float64, copy=False)
+    del tarrow
     # dense-rank node ids into [0, n)
     uniq = np.unique(np.concatenate([raw_src, raw_dst]))
     n = len(uniq)
     src = np.searchsorted(uniq, raw_src)
     dst = np.searchsorted(uniq, raw_dst)
-    node_ids = {int(v): i for i, v in enumerate(uniq)}
     order = np.argsort(src, kind="stable")
     src, dst, p = src[order], dst[order], p[order]
     indptr = np.zeros(n + 1, dtype=np.int64)
@@ -239,18 +244,20 @@ def personalized_pagerank_broadcast(
     indptr = np.cumsum(indptr)
     has_out = np.zeros(n, dtype=bool)
     has_out[src] = True
-    rev_ids = uniq  # dense index -> original node id
+    rev_ids = uniq  # sorted: dense index -> original node id, and the
+    # searchsorted lookup table for seed resolution executor-side
 
     sc = seeds.sparkSession.sparkContext
-    bc = sc.broadcast((n, indptr, dst, p, has_out, rev_ids, node_ids))
+    bc = sc.broadcast((n, indptr, dst, p, has_out, rev_ids))
 
     def run_batch(batches):
-        n_, indptr_, dst_, p_, has_out_, rev_, ids_ = bc.value
+        n_, indptr_, dst_, p_, has_out_, rev_ = bc.value
         for pdf in batches:
             out_seed, out_node, out_rank = [], [], []
             for raw_seed in pdf["seed"]:
                 raw_seed = int(raw_seed)
-                six = ids_.get(raw_seed)
+                pos = int(np.searchsorted(rev_, raw_seed))
+                six = pos if pos < n_ and rev_[pos] == raw_seed else None
                 if six is None or not has_out_[six]:
                     # isolated / dangling-only seed: fixed point at itself
                     out_seed.append(raw_seed)

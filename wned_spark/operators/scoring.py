@@ -57,7 +57,9 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
     )
 
 
-def make_soft_tfidf_udf(surface_pairs: DataFrame, theta: float = 0.9):
+def make_soft_tfidf_udf(
+    surface_pairs: DataFrame, theta: float = 0.9, max_vocab: int = 500_000
+):
     """Build an Arrow-batched SoftTFIDF UDF with IDF weights computed
     from the distinct surfaces of the pair set.
 
@@ -68,9 +70,13 @@ def make_soft_tfidf_udf(surface_pairs: DataFrame, theta: float = 0.9):
     (initial expansion, R10-lite). idf(t) = ln(1 + N/df(t)) with df =
     number of distinct surfaces containing t.
 
-    The IDF dictionary is tiny even at 100 TB input (vocabulary of
-    distinct name tokens), so it collects to the driver and ships in
-    the UDF closure as a broadcast-sized dict.
+    THE DRIVER PULL IS BOUNDED: only the ``max_vocab`` highest-df
+    tokens collect (one top-K, not the whole vocabulary — a
+    misspelling-heavy multilingual corpus can make distinct name tokens
+    O(distinct surfaces)). Every token outside the pulled head gets
+    ``default_idf = ln(1 + N)`` — EXACTLY the idf of a df=1 token, so
+    the cap is lossless for the singleton tail and only approximates
+    the middle of the Zipf curve, where idf varies slowly.
     """
     import math
     import re
@@ -84,7 +90,13 @@ def make_soft_tfidf_udf(surface_pairs: DataFrame, theta: float = 0.9):
         "s",
         F.explode(F.filter(F.split(F.col("s"), r"[\s\.]+"), lambda t: t != "")).alias("tok"),
     ).distinct()
-    df_rows = toks.groupBy("tok").agg(F.countDistinct("s").alias("df")).collect()
+    df_rows = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))  # rows are distinct (s, tok) already
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(max_vocab)
+        .collect()
+    )
     n_surfaces = max(1, surfaces.count())
     idf = {r["tok"]: math.log(1.0 + n_surfaces / r["df"]) for r in df_rows}
     default_idf = math.log(1.0 + n_surfaces)

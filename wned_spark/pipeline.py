@@ -81,15 +81,19 @@ def run_er_pipeline(
     def stage(name: str, fn, **kw) -> DataFrame:
         if catalog is not None:
             return catalog.run_stage(name, fn, **kw)
-        # materialize eagerly: one cheap count per stage lets AQE see
-        # the TRUE size of every stage input downstream (broadcast vs
-        # sort-merge decisions come from runtime stats, not estimates)
-        t0 = _time.time()
-        d = fn().persist()
-        n = d.count()
+        # persist LAZILY: reused stages compute once, but no job barrier
+        # per stage. (Round-1 ran an eager count() per stage "for AQE
+        # stats" — ~14 barriers that dominated wall time; AQE already
+        # sees true sizes at each shuffle, and the only count a plan
+        # decision actually needs is the edge count for the PPR path
+        # choice, taken explicitly below.)
         if timing:
+            t0 = _time.time()
+            d = fn().persist()
+            n = d.count()
             print(f"[stage] {name}: {_time.time()-t0:.1f}s rows={n}", flush=True)
-        return d
+            return d
+        return fn().persist()
 
     # ---- mention extraction + doc-local coref (N1/J6) ----
     mentions = stage("mentions", lambda: mention_ops.extract_mentions(transcripts))
