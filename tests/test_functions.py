@@ -124,3 +124,16 @@ def test_minhash_deterministic_across_runs(spark):
     v1 = df.select(expr.alias("v")).first()["v"]
     v2 = df.select(expr.alias("v")).first()["v"]
     assert v1 == v2
+
+
+def test_token_count_bpe_ish_pinned(spark):
+    from wned_spark.functions.text import token_count_bpe_ish
+
+    df = spark.createDataFrame(
+        [("hello world",), ("abc123def",), ("don't stop, ok?",), ("",)],
+        "s string",
+    )
+    got = [r["n"] for r in df.select(token_count_bpe_ish(F.col("s")).alias("n")).collect()]
+    # "hello world" -> [hello, world]; "abc123def" -> [abc, 123, def];
+    # "don't stop, ok?" -> [don, ', t, stop, ',' , ok, ?]; "" -> 0
+    assert got == [2, 3, 7, 0]

@@ -22,6 +22,11 @@ def test_e2e_pairwise_f1_gate(spark):
         gold_mentions=c["gold_mentions"], cfg=ERConfig(),
     )
     assert res.metrics["f1"] >= 0.99, res.metrics
+    # four-feature parity with WNED (utils/Feature.java:20-38):
+    # nameSim block, semSim (cosine + ZeroKL), local, prior
+    for col in ["name_jw", "name_soft", "sig_cosine", "sig_kl",
+                "ctx_cosine", "shared_prior", "score"]:
+        assert col in res.scored.columns, col
 
 
 def test_per_turn_text_equality_roundtrip(spark, tmp_warehouse):

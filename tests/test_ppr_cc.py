@@ -153,3 +153,87 @@ def test_ppr_broadcast_matches_join_based(spark):
     for k, v in ref.items():
         if abs(v) > 1e-12:
             assert abs(got[k] - v) < 1e-9, (k, v, got.get(k))
+
+
+def test_signature_zero_kl_matches_numpy(spark):
+    """Relational ZeroKL (R7) vs a direct numpy transcription of
+    VectorSimilarity.java:87-104 (eps=1e-6, gamma=10, base-2 log)."""
+    from wned_spark.operators.ppr import signature_zero_kl
+
+    eps, gamma = 1e-6, 10.0
+    sigs = {
+        1: {10: 0.6, 11: 0.3, 12: 0.1},
+        2: {10: 0.5, 11: 0.5},
+        3: {12: 1.0},
+    }
+
+    def np_kl(p, q):
+        out = 0.0
+        for node, pv in p.items():
+            qv = q.get(node, 0.0)
+            out += pv * gamma if qv <= eps else pv * np.log2(pv / qv)
+        return out
+
+    rows = [Row(seed=s, node=n_, rank=r)
+            for s, d in sigs.items() for n_, r in d.items()]
+    pair_rows = [Row(seed_a=1, seed_b=2), Row(seed_a=1, seed_b=3), Row(seed_a=2, seed_b=3)]
+    got = {
+        (r["seed_a"], r["seed_b"]): r["sig_kl"]
+        for r in signature_zero_kl(
+            spark.createDataFrame(pair_rows), spark.createDataFrame(rows),
+            eps=eps, gamma=gamma,
+        ).collect()
+    }
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        expected = 1.0 / (1.0 + (np_kl(sigs[a], sigs[b]) + np_kl(sigs[b], sigs[a])) / 2.0)
+        assert abs(got[(a, b)] - expected) < 1e-12, (a, b)
+
+
+def test_signature_zero_kl_identical_is_one(spark):
+    from wned_spark.operators.ppr import signature_zero_kl
+
+    rows = [Row(seed=s, node=n_, rank=r)
+            for s in (1, 2) for n_, r in [(10, 0.7), (11, 0.3)]]
+    out = signature_zero_kl(
+        spark.createDataFrame([Row(seed_a=1, seed_b=2)]),
+        spark.createDataFrame(rows),
+    ).first()
+    assert abs(out["sig_kl"] - 1.0) < 1e-12
+
+
+def test_surface_context_weights_and_cosine(spark):
+    """ctx feature source: two surfaces sharing context terms score
+    higher than two that don't; weights match the Lucene tf-idf form."""
+    from wned_spark.operators.tfidf import pairwise_cosine, surface_context_weights
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha beta invoice shipment"),
+            ("c1", 1, "alpha beta contract renewal"),
+            ("c2", 0, "gamma delta warehouse pallet"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("c1", 0, "s one"),
+            ("c1", 1, "s two"),
+            ("c2", 0, "s three"),
+        ],
+        "conv_id string, turn_idx int, surface_norm string",
+    )
+    w = surface_context_weights(mentions, transcripts, window_turns=1)
+    sid = {r["sn"]: r["sid"] for r in mentions.select(
+        F.col("surface_norm").alias("sn"),
+        F.xxhash64("surface_norm").alias("sid")).distinct().collect()}
+    pairs = spark.createDataFrame(
+        [Row(left_sid=sid["s one"], right_sid=sid["s two"]),
+         Row(left_sid=sid["s one"], right_sid=sid["s three"])],
+    )
+    got = {(r["left_sid"], r["right_sid"]): r["ctx_cosine"]
+           for r in pairwise_cosine(pairs, w, doc_col="sid",
+                                    left_col="left_sid", right_col="right_sid").collect()}
+    same_conv = got[(sid["s one"], sid["s two"])]
+    diff_conv = got[(sid["s one"], sid["s three"])]
+    assert same_conv > 0.5
+    assert diff_conv == 0.0

@@ -76,9 +76,15 @@ class ERConfig:
     degree_floor: int = 0  # SubGraphGenerator.java:30-31 uses 200/600 on
     # Wikipedia-scale graphs; 0 disables for small synthetic graphs
 
-    # --- ZeroKL (R7) ---
+    # --- ZeroKL (R7) — used by the sig_kl pipeline feature ---
     kl_eps: float = 1e-6
     kl_gamma: float = 10.0
+
+    # --- "local" context feature (TFIDF3x.java:197-228) ---
+    use_ctx_feature: bool = True
+    ctx_window_turns: int = 2  # turns either side of a mention that
+    # form its context document (the reference uses a char window
+    # around the mention span, MentionContext.java:44-60)
 
     # --- scoring / decision (R1) ---
     prior_weight: float = 0.08  # el.config:21
@@ -96,12 +102,17 @@ class ERConfig:
         default_factory=lambda: {
             # LINEAR rank combination generalized to the pair-scoring
             # feature family (Feature.java:40-164 recast for pairs)
+            # nameSim block
             "name_jw": 0.10,
-            "name_soft": 0.35,
-            "name_dice": 0.10,
+            "name_soft": 0.33,
+            "name_dice": 0.08,
             "name_lev": 0.05,
-            "sig_cosine": 0.20,
-            "ctx_cosine": 0.07,
+            # semSim block (cosine + the reference's 1/ZeroKL form)
+            "sig_cosine": 0.14,
+            "sig_kl": 0.08,
+            # local (context tf-idf cosine)
+            "ctx_cosine": 0.09,
+            # prior
             "shared_prior": 0.13,
         }
     )

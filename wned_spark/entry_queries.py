@@ -575,6 +575,221 @@ def r13_milne_witten(spark, sf_dir):
     )
 
 
+_R7_SQL = """
+    WITH w AS (
+      SELECT l_suppkey AS s, l_partkey AS part,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS q
+      FROM lineitem WHERE l_suppkey <= 12 GROUP BY 1, 2
+    ), d AS (
+      SELECT s, part,
+             CAST(q AS DOUBLE) / CAST(SUM(q) OVER (PARTITION BY s) AS DOUBLE) AS p
+      FROM w
+    ), ss AS (SELECT DISTINCT s FROM d),
+    pairs AS (SELECT a.s AS seed_a, b.s AS seed_b FROM ss a JOIN ss b ON a.s < b.s),
+    kab AS (
+      SELECT pr.seed_a, pr.seed_b,
+             SUM(CASE WHEN COALESCE(db.p, 0) <= 0.000001 THEN da.p * 10
+                      ELSE da.p * LOG2(da.p / db.p) END) AS kl
+      FROM pairs pr
+      JOIN d da ON da.s = pr.seed_a
+      LEFT JOIN d db ON db.s = pr.seed_b AND db.part = da.part
+      GROUP BY 1, 2
+    ),
+    kba AS (
+      SELECT pr.seed_a, pr.seed_b,
+             SUM(CASE WHEN COALESCE(db.p, 0) <= 0.000001 THEN da.p * 10
+                      ELSE da.p * LOG2(da.p / db.p) END) AS kl
+      FROM pairs pr
+      JOIN d da ON da.s = pr.seed_b
+      LEFT JOIN d db ON db.s = pr.seed_a AND db.part = da.part
+      GROUP BY 1, 2
+    )
+    SELECT seed_a, seed_b,
+           ROUND(1.0 / (1.0 + (kab.kl + kba.kl) / 2.0), 6) AS sig_kl
+    FROM kab JOIN kba USING (seed_a, seed_b)
+"""
+
+
+@register("r7_zero_kl", _R7_SQL)
+def r7_zero_kl(spark, sf_dir):
+    """R7: the relational ZeroKL semantic-similarity operator
+    (VectorSimilarity.java:87-104 constants) pinned to a DuckDB oracle
+    over supplier→part quantity-share distributions."""
+    from wned_spark.operators.ppr import signature_zero_kl
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 12)
+    w = li.groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
+    )
+    win = Window.partitionBy("s")
+    d = w.select(
+        "s", "part",
+        (F.col("q").cast("double") / F.sum("q").over(win).cast("double")).alias("p"),
+    )
+    sigs = d.select(
+        F.col("s").alias("seed"), F.col("part").alias("node"), F.col("p").alias("rank")
+    )
+    ss = d.select("s").distinct()
+    pairs = (
+        ss.alias("a").join(ss.alias("b"), F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("seed_a"), F.col("b.s").alias("seed_b"))
+    )
+    return signature_zero_kl(pairs, sigs).select(
+        "seed_a", "seed_b", F.round("sig_kl", 6).alias("sig_kl")
+    )
+
+
+@register(
+    "r8_normalize_strip",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 lower(trim(regexp_replace('Dr. ' || c_name || ' Inc.', '\s+', ' ', 'g'))),
+                 '^(mr|mrs|ms|miss|dr|prof|gen|rep|sen|st|sr|jr|rev|fr|hon|gov|pres)\.?\s+', ''),
+               '\s+(ltd|co|inc|corp|llc|plc|gmbh)\.?$', ''),
+             '\.$', '') AS stripped
+    FROM customer
+    """,
+)
+def r8_normalize_strip(spark, sf_dir):
+    """R8: honorific-prefix + corporate-suffix strip
+    (MentionExpansion.java:160-192) on synthetic honorific-wrapped
+    names, oracle-checked character-for-character."""
+    from wned_spark.functions.normalize import norm_surface
+
+    c = _t(spark, sf_dir, "customer")
+    wrapped = F.concat(F.lit("Dr. "), F.col("c_name"), F.lit(" Inc."))
+    return c.select("c_custkey", norm_surface(wrapped).alias("stripped"))
+
+
+@register(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             LEAST(len(toks) / 20.0, 1.0) AS length_ok,
+             LEAST(CAST(len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','that','it','was','for'))) AS DOUBLE)
+                   / GREATEST(len(toks), 1) * 4.0, 1.0) AS sw_ok,
+             GREATEST(1.0 - CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / GREATEST(length(text), 1) * 4.0, 0.0) AS punct_ok,
+             CASE WHEN len(toks) = 0 THEN 0.5
+                  WHEN list_sum(list_transform(toks, x -> length(x))) / len(toks)
+                       BETWEEN 3 AND 10 THEN 1.0
+                  ELSE 0.5 END AS wl_ok
+      FROM t
+    )
+    SELECT doc_id, ROUND((length_ok + sw_ok + punct_ok + wl_ok) / 4.0, 6) AS quality
+    FROM f
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score (the quality-filter reducer over the
+    feature family of ``text_quality``)."""
+    from wned_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "idf_token_overlap",
+    """
+    WITH s AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part WHERE p_partkey <= 200),
+    toks AS (
+      SELECT id, name, UNNEST(list_distinct(string_split(name, ' '))) AS tok FROM s
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT name) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT name) AS n FROM s),
+    tw AS (
+      SELECT id, tok, LN(1 + CAST(n.n AS DOUBLE) / df.df) AS idf
+      FROM toks JOIN df USING (tok) CROSS JOIN n
+    ),
+    den AS (SELECT id, SUM(idf) AS den FROM tw GROUP BY id),
+    pairs AS (
+      SELECT a.id AS left_id, b.id AS right_id FROM s a JOIN s b ON a.id < b.id
+      WHERE a.id <= 40 AND b.id <= 40
+    ),
+    num AS (
+      SELECT p.left_id, p.right_id, SUM(ta.idf) AS num
+      FROM pairs p
+      JOIN tw ta ON ta.id = p.left_id
+      JOIN tw tb ON tb.id = p.right_id AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT p.left_id, p.right_id,
+           ROUND(GREATEST(COALESCE(num.num, 0) / dl.den,
+                          COALESCE(num.num, 0) / dr.den), 6) AS idf_overlap
+    FROM pairs p
+    LEFT JOIN num ON num.left_id = p.left_id AND num.right_id = p.right_id
+    JOIN den dl ON dl.id = p.left_id
+    JOIN den dr ON dr.id = p.right_id
+    """,
+)
+def idf_token_overlap(spark, sf_dir):
+    """The exact-match (theta=1) skeleton of SoftTFIDF
+    (StringSim.java:105-160): IDF-weighted shared-token alignment,
+    max over directions — fully relational, DuckDB-oracled. The fuzzy
+    JW inner kernel rides on top of this structure in the pipeline."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    s = p.select(F.col("p_partkey").alias("id"), F.lower(F.col("p_name")).alias("name"))
+    toks = s.select(
+        "id", "name", F.explode(F.array_distinct(F.split(F.col("name"), " "))).alias("tok")
+    )
+    df_ = toks.groupBy("tok").agg(F.countDistinct("name").alias("df"))
+    n_names = s.select("name").distinct().count()
+    tw = toks.join(df_, "tok").select(
+        "id", "tok", F.log(1.0 + F.lit(float(n_names)) / F.col("df")).alias("idf")
+    )
+    den = tw.groupBy("id").agg(F.sum("idf").alias("den"))
+    sa, sb = s.alias("a"), s.alias("b")
+    pairs = (
+        sa.join(sb, F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.id") <= 40) & (F.col("b.id") <= 40))
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+    )
+    ta = tw.select(F.col("id").alias("left_id"), "tok", F.col("idf").alias("idf_a"))
+    tb = tw.select(F.col("id").alias("right_id"), "tok")
+    num = (
+        pairs.join(ta, "left_id")
+        .join(tb, ["right_id", "tok"])
+        .groupBy("left_id", "right_id")
+        .agg(F.sum("idf_a").alias("num"))
+    )
+    dl = den.select(F.col("id").alias("left_id"), F.col("den").alias("den_l"))
+    dr = den.select(F.col("id").alias("right_id"), F.col("den").alias("den_r"))
+    return (
+        pairs.join(num, ["left_id", "right_id"], "left")
+        .na.fill({"num": 0.0})
+        .join(dl, "left_id")
+        .join(dr, "right_id")
+        .select(
+            "left_id", "right_id",
+            F.round(
+                F.greatest(F.col("num") / F.col("den_l"), F.col("num") / F.col("den_r")), 6
+            ).alias("idf_overlap"),
+        )
+    )
+
+
+@register("text_token_count_bpe", None)  # RE2 (DuckDB) lacks lookarounds
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword token estimate — the split regex uses
+    lookahead/lookbehind, which DuckDB's RE2 cannot run → rows-only;
+    pinned instead by tests/test_functions.py."""
+    from wned_spark.functions.text import token_count_bpe_ish
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"))
+
+
 # =====================================================================
 # Graph / iterative (G3 PPR, G8 CC) — with genuine oracles
 # =====================================================================

@@ -193,6 +193,68 @@ def signature_cosine(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     )
 
 
+def _zero_kl_directed(pairs: DataFrame, signatures: DataFrame,
+                      eps: float, gamma: float) -> DataFrame:
+    """ZeroKL(sig_a || sig_b) per pair, relationally: signatures store
+    only nonzero ranks, so every p-row contributes either
+    p*log2(p/q) (q present and > eps) or p*gamma (q missing/tiny) —
+    the exact VectorSimilarity.java:87-104 term structure as one
+    left join + sum. Pairs whose seed_a has no signature rows get the
+    all-mass-unmatched value gamma (sum(p)=1)."""
+    sa = signatures.select(F.col("seed").alias("seed_a"), "node", F.col("rank").alias("p"))
+    sb = signatures.select(F.col("seed").alias("seed_b"), "node", F.col("rank").alias("q"))
+    terms = (
+        pairs.join(sa, "seed_a")
+        .join(sb, ["seed_b", "node"], "left")
+        .select(
+            "seed_a",
+            "seed_b",
+            F.when(
+                F.coalesce(F.col("q"), F.lit(0.0)) <= eps, F.col("p") * gamma
+            ).otherwise(F.col("p") * F.log2(F.col("p") / F.col("q"))).alias("term"),
+        )
+        .groupBy("seed_a", "seed_b")
+        .agg(F.sum("term").alias("kl"))
+    )
+    return pairs.join(terms, ["seed_a", "seed_b"], "left").na.fill({"kl": gamma})
+
+
+def signature_zero_kl(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    eps: float = 1e-6,
+    gamma: float = 10.0,
+) -> DataFrame:
+    """Symmetrized ZeroKL semantic similarity between two seeds' PPR
+    signatures (R7 — the reference's semSim, SemanticSignatureEL.java:806
+    uses 1.0/ZeroKL(entity_sig, doc_sig); VectorSimilarity.java:87-104
+    constants eps=1e-6, gamma=10).
+
+    pairs: (seed_a, seed_b); signatures: (seed, node, rank).
+    Returns (seed_a, seed_b, sig_kl) where sig_kl = 1/(1 + kl_sym),
+    kl_sym = (KL(a||b) + KL(b||a)) / 2. Deviations from the reference,
+    both deliberate: symmetrized (pair features have no preferred
+    direction) and bounded to (0, 1] via 1/(1+kl) rather than the
+    unbounded 1/kl (identical signatures would divide by zero); both
+    are monotone transforms of the reference's score."""
+    ab = _zero_kl_directed(pairs, signatures, eps, gamma)
+    ba = _zero_kl_directed(
+        pairs.select(F.col("seed_b").alias("seed_a"), F.col("seed_a").alias("seed_b")),
+        signatures, eps, gamma,
+    ).select(
+        F.col("seed_b").alias("seed_a"), F.col("seed_a").alias("seed_b"),
+        F.col("kl").alias("kl_ba"),
+    )
+    return (
+        ab.join(ba, ["seed_a", "seed_b"])
+        .select(
+            "seed_a",
+            "seed_b",
+            (1.0 / (1.0 + (F.col("kl") + F.col("kl_ba")) / 2.0)).alias("sig_kl"),
+        )
+    )
+
+
 def personalized_pagerank_broadcast(
     seeds: DataFrame,
     edges: DataFrame,

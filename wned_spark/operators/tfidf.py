@@ -50,6 +50,36 @@ def doc_term_weights(tokens: DataFrame, doc_col: str = "doc") -> DataFrame:
     )
 
 
+def surface_context_weights(
+    mentions: DataFrame,
+    transcripts: DataFrame,
+    window_turns: int = 2,
+) -> DataFrame:
+    """WNED's "local" feature source (MentionContext.java:32-91 +
+    TFIDF3x.java:197-228) recast for surfaces: the context document of
+    a surface is the text of every turn within ``window_turns`` of any
+    of its mentions; weights are the same Lucene-style tf-idf as
+    ``doc_term_weights``.
+
+    Returns (sid, term, tf, df, tfidf). One join (mentions ⋈ turns on
+    conv_id + turn-window range) + one explode + two aggs — linear in
+    mention count, never in surface-pair count."""
+    key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+    m = mentions.select(
+        "conv_id",
+        F.col("turn_idx").alias("mt"),
+        F.xxhash64(F.col(key_col)).alias("sid"),
+    )
+    t = transcripts.select("conv_id", F.col("turn_idx").alias("tt"), "text")
+    ctx = (
+        m.join(t, "conv_id")
+        .filter(F.abs(F.col("mt") - F.col("tt")) <= window_turns)
+        .select("sid", "text")
+    )
+    toks = tokenize(ctx, "text", ["sid"])
+    return doc_term_weights(toks, "sid")
+
+
 def pairwise_cosine(
     pairs: DataFrame, weights: DataFrame, doc_col: str = "doc",
     left_col: str = "left_doc", right_col: str = "right_doc",

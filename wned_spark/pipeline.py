@@ -81,19 +81,24 @@ def run_er_pipeline(
     def stage(name: str, fn, **kw) -> DataFrame:
         if catalog is not None:
             return catalog.run_stage(name, fn, **kw)
-        # persist LAZILY: reused stages compute once, but no job barrier
-        # per stage. (Round-1 ran an eager count() per stage "for AQE
-        # stats" — ~14 barriers that dominated wall time; AQE already
-        # sees true sizes at each shuffle, and the only count a plan
-        # decision actually needs is the edge count for the PPR path
-        # choice, taken explicitly below.)
+        # LAZY LOCAL CHECKPOINT, not persist(): besides caching the
+        # data, it truncates the LOGICAL plan to a flat LogicalRDD.
+        # With plain persist() the cache serves the data but Catalyst
+        # still re-analyzes the full upstream tree on every downstream
+        # action — and AQE re-plans per shuffle stage, so driver-side
+        # planning compounded to ~5s per sub-stage by the end of the
+        # ~14-stage pipeline (measured: signature cosine over 31 cached
+        # rows took 58s with deep lineage, 0.3s with truncated plans).
+        # eager=False adds no job barrier; the first downstream action
+        # materializes the stage, later ones reuse it. (Catalog mode
+        # truncates naturally: stages are written + read back as
+        # parquet snapshots.)
+        d = fn().localCheckpoint(eager=False)
         if timing:
             t0 = _time.time()
-            d = fn().persist()
             n = d.count()
             print(f"[stage] {name}: {_time.time()-t0:.1f}s rows={n}", flush=True)
-            return d
-        return fn().persist()
+        return d
 
     # ---- mention extraction + doc-local coref (N1/J6) ----
     mentions = stage("mentions", lambda: mention_ops.extract_mentions(transcripts))
@@ -163,6 +168,47 @@ def run_er_pipeline(
         survivors = survivors.join(
             sig_sim, ["left_sid", "right_sid"], "left"
         ).na.fill({"sig_cosine": 0.0})
+
+        # semSim proper (R7): the reference's semantic similarity is
+        # 1/ZeroKL over signatures (SemanticSignatureEL.java:806), not
+        # cosine — carry BOTH as features (cosine kept for symmetry
+        # with round-1 behavior, KL for reference parity)
+        sig_kl = stage(
+            "sig_kl",
+            lambda: ppr.signature_zero_kl(
+                node_pairs, sigs, eps=cfg.kl_eps, gamma=cfg.kl_gamma
+            ).withColumnRenamed("seed_a", "left_sid").withColumnRenamed(
+                "seed_b", "right_sid"
+            ),
+        )
+        survivors = survivors.join(
+            sig_kl, ["left_sid", "right_sid"], "left"
+        ).na.fill({"sig_kl": 0.0})
+
+    # ---- "local" context feature (WNED's 4-feature family: prior /
+    # local / semSim / nameSim — utils/Feature.java:20-38): tf-idf
+    # cosine between the surfaces' conversation contexts
+    # (TFIDF3x.java:197-228, MentionContext.java:32-91) ----
+    if cfg.use_ctx_feature:
+        from wned_spark.operators import tfidf as tfidf_ops
+
+        ctx_w = stage(
+            "ctx_tfidf",
+            lambda: tfidf_ops.surface_context_weights(
+                mentions, transcripts, window_turns=cfg.ctx_window_turns
+            ),
+        )
+        ctx_pairs = survivors.select("left_sid", "right_sid").distinct()
+        ctx_sim = stage(
+            "ctx_similarity",
+            lambda: tfidf_ops.pairwise_cosine(
+                ctx_pairs, ctx_w, doc_col="sid",
+                left_col="left_sid", right_col="right_sid",
+            ),
+        )
+        survivors = survivors.join(
+            ctx_sim, ["left_sid", "right_sid"], "left"
+        ).na.fill({"ctx_cosine": 0.0})
 
     # ---- prior feature via alias dictionary at surface level (J1/A2) ----
     if alias_raw is not None:
