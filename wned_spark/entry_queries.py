@@ -1166,6 +1166,41 @@ def text_fingerprint(spark, sf_dir):
 # harness in tests/test_pipeline_e2e.py is its correctness gate)
 # =====================================================================
 
+@register("l2r_margin_scores", None)  # GBT model output — no SQL analog
+def l2r_margin_scores(spark, sf_dir):
+    """N5/K6/N7: train the GBT pair ranker on a gold-labeled synthetic
+    corpus and emit the margin-scored pairs of a held-out corpus.
+    Correctness is pinned by tests/test_l2r.py (held-out F1 gate +
+    train determinism); the driver records rows-only."""
+    from wned_spark.config import ERConfig
+    from wned_spark.datagen import generate_corpus
+    from wned_spark.operators import l2r
+    from wned_spark.pipeline import run_er_pipeline
+
+    cfg = ERConfig()
+    train = generate_corpus(
+        spark, n_conversations=16, turns_per_conv=8, n_entities=16,
+        community_size=8, seed=7,
+    )
+    model, _ = l2r.train_l2r_from_gold(
+        spark, train["transcripts"].cache(), train["alias_raw"],
+        train["gold_mentions"], cfg=cfg,
+    )
+    test = generate_corpus(
+        spark, n_conversations=12, turns_per_conv=8, n_entities=16,
+        community_size=8, seed=11,
+    )
+    res = run_er_pipeline(
+        spark, test["transcripts"].cache(), alias_raw=test["alias_raw"],
+        cfg=cfg, ranker=model,
+    )
+    return res.scored.select(
+        "left_norm", "right_norm",
+        F.round("l2r_margin", 6).alias("l2r_margin"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 @register("er_clusters_flagship", None)
 def er_clusters_flagship(spark, sf_dir):
     """End-to-end ER: synthetic transcripts → blocking → scoring → PPR

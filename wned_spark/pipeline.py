@@ -69,6 +69,7 @@ def run_er_pipeline(
     catalog: Catalog | None = None,
     use_signatures: bool = True,
     gold_mentions: DataFrame | None = None,
+    ranker=None,
 ) -> PipelineResult:
     """Run the full ER pipeline. With a ``catalog``, every stage is a
     committed resumable snapshot; without, stages persist in memory."""
@@ -232,8 +233,17 @@ def run_er_pipeline(
             {"shared_prior": 0.0}
         )
 
-    # ---- combine + gate (R1) ----
-    scored = stage("scored_pairs", lambda: scoring.combine_scores(survivors, cfg))
+    # ---- combine + gate (R1 / N5) ----
+    # with a trained ranker: GBT margin scoring (the north rule's
+    # learning-to-rank margin, L2RPredictor.java:31-83 recast);
+    # without: LINEAR hand-weight combination (the reference's shipped
+    # default, WNEDConfig.java:175)
+    if ranker is not None:
+        from wned_spark.operators import l2r
+
+        scored = stage("scored_pairs", lambda: l2r.score_with_model(survivors, ranker, cfg))
+    else:
+        scored = stage("scored_pairs", lambda: scoring.combine_scores(survivors, cfg))
 
     # ---- match edges → connected components on the surface graph (G8) ----
     def _surface_clusters():
