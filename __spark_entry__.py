@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from wned_spark.pipeline import run_er_pipeline
 
     c = generate_corpus(
-        spark, n_conversations=24, turns_per_conv=8, n_entities=16, community_size=8
+        spark, n_conversations=24, turns_per_conv=8, n_entities=16,
+        community_size=8, ambiguity_rate=0.25,
     )
     res = run_er_pipeline(
         spark, c["transcripts"].cache(), alias_raw=c["alias_raw"], cfg=ERConfig()

@@ -1,0 +1,86 @@
+"""Ambiguous-surface handling: W8 doc-local abbreviation expansion and
+the G6 conversation-signature second pass. The load-bearing test is the
+one the round-1 verdict asked for: with planted ambiguity the F1 gate
+FAILS without signatures and PASSES with them."""
+
+import dataclasses
+
+import pyspark.sql.functions as F
+
+from wned_spark.config import ERConfig
+from wned_spark.datagen import generate_corpus
+from wned_spark.operators.mentions import expand_abbreviations
+from wned_spark.pipeline import run_er_pipeline
+
+
+def _ambiguous_corpus(spark):
+    c = generate_corpus(
+        spark, n_conversations=60, turns_per_conv=10,
+        n_entities=32, community_size=8, ambiguity_rate=1.0,
+    )
+    c["transcripts"] = c["transcripts"].cache()
+    c["gold_mentions"] = c["gold_mentions"].cache()
+    return c
+
+
+def test_second_pass_is_load_bearing(spark):
+    """Same corpus with cross-entity acronyms: signatures OFF fails the
+    pairwise gate (one surface, many entities -> false merges);
+    signatures + second pass ON restores it. W8 expansion disabled so
+    the PPR signal alone must do the work."""
+    c = _ambiguous_corpus(spark)
+    base = ERConfig(use_abbrev_expansion=False)
+
+    off = run_er_pipeline(
+        spark, c["transcripts"], alias_raw=c["alias_raw"],
+        gold_mentions=c["gold_mentions"],
+        cfg=dataclasses.replace(base, use_second_pass=False),
+        use_signatures=False,
+    )
+    assert off.metrics["f1"] < 0.99, off.metrics
+    assert off.metrics["fp"] > 0
+
+    on = run_er_pipeline(
+        spark, c["transcripts"], alias_raw=c["alias_raw"],
+        gold_mentions=c["gold_mentions"], cfg=base,
+    )
+    assert on.metrics["f1"] >= 0.99, on.metrics
+    assert on.metrics["fp"] == 0
+
+
+def test_full_config_holds_gate_under_ambiguity(spark):
+    """Default config (W8 + second pass): gate holds on the ambiguous
+    corpus."""
+    c = _ambiguous_corpus(spark)
+    res = run_er_pipeline(
+        spark, c["transcripts"], alias_raw=c["alias_raw"],
+        gold_mentions=c["gold_mentions"], cfg=ERConfig(),
+    )
+    assert res.metrics["f1"] >= 0.99, res.metrics
+
+
+def test_expand_abbreviations_picks_longest_definition(spark):
+    """W8 pinned semantics: an all-caps acronym re-points at the
+    longest same-conversation surface whose initials spell it; other
+    conversations are untouched."""
+    mentions = spark.createDataFrame(
+        [
+            # conv A: definition present (two candidates; longest wins)
+            ("a", 0, "AG", "ag", "ag"),
+            ("a", 1, "Alice Gardenbar", "alice gardenbar", "alice gardenbar"),
+            ("a", 2, "Anders Garwimsor", "anders garwimsor", "anders garwimsor"),
+            # conv B: no definition -> untouched
+            ("b", 0, "AG", "ag", "ag"),
+            # not an acronym (lowercase raw form) -> untouched
+            ("a", 3, "Ag", "ag2", "ag2"),
+        ],
+        "conv_id string, turn_idx int, surface string, surface_norm string, canon_norm string",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["canon_norm"]
+        for r in expand_abbreviations(mentions).collect()
+    }
+    assert out[("a", 0)] == "anders garwimsor"  # longest initials match
+    assert out[("b", 0)] == "ag"
+    assert out[("a", 3)] == "ag2"
+    assert out[("a", 1)] == "alice gardenbar"

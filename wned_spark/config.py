@@ -117,6 +117,13 @@ class ERConfig:
         }
     )
 
+    # --- ambiguity handling (W8 / G6 second pass) ---
+    # doc-local acronym→definition expansion (MentionExpansion.java)
+    use_abbrev_expansion: bool = True
+    # conversation-signature argmax for mentions of surfaces with >1
+    # candidate entity (ELUtils.java:59-94 document signatures)
+    use_second_pass: bool = True
+
     # --- connected components (G8) ---
     cc_max_iter: int = 20
 

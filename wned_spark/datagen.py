@@ -187,8 +187,12 @@ def build_alias_rows(
             "link", 1 + rng.randrange(4)))
         if rng.random() < ambiguity_rate:
             acro = "".join(p[0] for p in parts).upper()
-            # 2-letter acronyms collide across entities by construction
-            rows.append(AliasRow(eid, acro, "disambig", 3 + rng.randrange(5)))
+            # 2-letter acronyms collide across entities by construction.
+            # Frequency comparable to the canonical name: when ambiguity
+            # is requested, acronym mentions must be COMMON enough that
+            # unresolved ones measurably break the pairwise gate (a
+            # token-rare alias would vanish into the F1's fourth digit).
+            rows.append(AliasRow(eid, acro, "disambig", 40 + rng.randrange(40)))
     return pd.DataFrame([r.__dict__ for r in rows])
 
 

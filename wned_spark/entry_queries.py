@@ -1203,14 +1203,19 @@ def l2r_margin_scores(spark, sf_dir):
 
 @register("er_clusters_flagship", None)
 def er_clusters_flagship(spark, sf_dir):
-    """End-to-end ER: synthetic transcripts → blocking → scoring → PPR
-    signatures → threshold → connected components → clusters."""
+    """End-to-end ER: synthetic transcripts (WITH planted cross-entity
+    acronyms, ambiguity_rate=0.25) → blocking → scoring → PPR
+    signatures → threshold → connected components → W8 expansion +
+    G6 second pass → clusters. The F1 gates in
+    tests/test_pipeline_e2e.py and tests/test_ambiguity.py are its
+    correctness oracles."""
     from wned_spark.config import ERConfig
     from wned_spark.datagen import generate_corpus
     from wned_spark.pipeline import run_er_pipeline
 
     c = generate_corpus(
-        spark, n_conversations=24, turns_per_conv=8, n_entities=16, community_size=8
+        spark, n_conversations=24, turns_per_conv=8, n_entities=16,
+        community_size=8, ambiguity_rate=0.25,
     )
     res = run_er_pipeline(
         spark, c["transcripts"].cache(), alias_raw=c["alias_raw"], cfg=ERConfig()

@@ -1,0 +1,148 @@
+"""Mention-level second pass for AMBIGUOUS surfaces (G6 + W5-style
+argmax): the acronym case where one surface form names different
+entities in different conversations, which surface-level clustering
+cannot split by construction.
+
+Mirrors the reference's document-signature disambiguation:
+- a CONVERSATION SIGNATURE is a PPR walk from a preference vector
+  uniform over the conversation's confident (non-ambiguous) surfaces
+  (``ELUtils.java:59-94``);
+- each candidate entity is represented by its best non-ambiguous
+  surface present in the corpus (max prior — the alias-dict analog of
+  the entity's canonical page) with its own indicator-seed signature;
+- each ambiguous mention is assigned to the candidate entity whose
+  representative signature is most similar to its conversation's
+  signature (cosine argmax — ``SemanticSignatureEL.java:786-848``'s
+  per-mention decision recast), and inherits that representative
+  surface's first-pass cluster.
+
+SCALE: everything here is sized by the AMBIGUOUS slice, not the
+corpus — ambiguous surfaces are the alias-dictionary rows with >1
+candidate entity (a tiny dictionary subset); only conversations
+containing them get signatures; the second PPR batch has one seed per
+such conversation plus one per candidate representative. At 10^12
+turns this remains a small side-pipeline joined back by mention_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wned_spark.config import ERConfig
+from wned_spark.operators import ppr
+
+
+def ambiguous_surfaces(cands: DataFrame) -> DataFrame:
+    """Surfaces whose candidate set spans >1 entity: (sid). cands:
+    (sid, entity_id, source, prior) from candidates.select_candidates."""
+    return (
+        cands.groupBy("sid")
+        .agg(F.countDistinct("entity_id").alias("n_ents"))
+        .filter(F.col("n_ents") > 1)
+        .select("sid")
+    )
+
+
+def entity_rep_surfaces(cands: DataFrame, amb: DataFrame) -> DataFrame:
+    """(entity_id, rep_sid): for every candidate entity of an ambiguous
+    surface, its highest-prior NON-ambiguous surface present in the
+    corpus (deterministic tiebreak on sid)."""
+    ents = (
+        cands.join(amb, "sid", "left_semi").select("entity_id").distinct()
+    )
+    unambiguous = cands.join(amb, "sid", "left_anti")
+    w = Window.partitionBy("entity_id").orderBy(F.desc("prior"), F.asc("sid"))
+    return (
+        unambiguous.join(ents, "entity_id", "left_semi")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("entity_id", F.col("sid").alias("rep_sid"))
+    )
+
+
+def second_pass_overrides(
+    mentions: DataFrame,
+    cands: DataFrame,
+    edges: DataFrame,
+    surface_clusters: DataFrame,
+    cfg: ERConfig = ERConfig(),
+) -> DataFrame:
+    """(mention_id, cluster_id) overrides for mentions of ambiguous
+    surfaces. Mentions with no resolvable signal (no confident
+    co-mentions in the conversation, or no representative signature
+    overlap) are left out — callers coalesce with the first-pass
+    assignment."""
+    key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+    m = mentions.select(
+        "mention_id",
+        "conv_id",
+        F.xxhash64(F.col(key_col)).alias("sid"),
+    )
+    amb = ambiguous_surfaces(cands)
+
+    amb_mentions = m.join(amb, "sid", "left_semi").persist()
+    # conversations that need a signature
+    convs = amb_mentions.select("conv_id").distinct()
+    # confident co-mentions: non-ambiguous surfaces in those conversations
+    confident = (
+        m.join(convs, "conv_id", "left_semi")
+        .join(amb, "sid", "left_anti")
+        .select("conv_id", "sid")
+        .distinct()
+    )
+    preference = confident.select(
+        F.xxhash64("conv_id").alias("seed"), F.col("sid").alias("node"), F.lit(1.0).alias("w")
+    )
+
+    reps = entity_rep_surfaces(cands, amb).persist()
+
+    # one batched PPR for the conversation preference vectors, one for
+    # the representative indicator seeds (both tiny seed sets)
+    conv_sigs = ppr.personalized_pagerank_pref(
+        preference, edges, cfg, max_degree=cfg.ppr_max_degree
+    )
+    rep_seeds = reps.select(F.col("rep_sid").alias("seed")).distinct()
+    rep_sigs = ppr.personalized_pagerank(
+        rep_seeds, edges, cfg, check_delta=False, symmetric=True,
+        max_degree=cfg.ppr_max_degree,
+    )
+    sigs = conv_sigs.union(rep_sigs.select("seed", "node", "rank"))
+
+    # candidate (conversation, entity-rep) pairs per ambiguous mention
+    cand_ents = cands.join(amb, "sid", "left_semi").select("sid", "entity_id")
+    trial = (
+        amb_mentions.join(cand_ents, "sid")
+        .join(reps, "entity_id")
+        .select("conv_id", "sid", "entity_id", "rep_sid")
+        .distinct()
+        .withColumn("seed_a", F.xxhash64("conv_id"))
+    )
+    cos = ppr.signature_cosine(
+        trial.select(F.col("seed_a"), F.col("rep_sid").alias("seed_b")).distinct(),
+        sigs,
+    )
+    scored = trial.join(
+        cos,
+        (trial["seed_a"] == cos["seed_a"]) & (trial["rep_sid"] == cos["seed_b"]),
+    ).select("conv_id", "sid", "entity_id", "rep_sid", "sig_cosine")
+
+    # argmax candidate per (conversation, ambiguous surface); zero
+    # similarity everywhere -> no override (no signal)
+    w = Window.partitionBy("conv_id", "sid").orderBy(
+        F.desc("sig_cosine"), F.asc("entity_id")
+    )
+    best = (
+        scored.filter(F.col("sig_cosine") > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "sid", "rep_sid")
+    )
+    return (
+        amb_mentions.join(best, ["conv_id", "sid"])
+        .join(
+            surface_clusters.select(F.col("sid").alias("rep_sid"), "cluster_id"),
+            "rep_sid",
+        )
+        .select("mention_id", "cluster_id")
+    )

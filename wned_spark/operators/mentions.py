@@ -73,6 +73,62 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     ).withColumn("surface_norm", norm_surface(F.col("surface")))
 
 
+def expand_abbreviations(mentions: DataFrame) -> DataFrame:
+    """W8/R10: doc-local abbreviation definition choice
+    (``cs/MentionExpansion.java:126-158,1128-1219``): an all-caps
+    acronym mention is re-pointed at a same-conversation multi-token
+    surface whose token initials spell the acronym (longest such
+    surface wins, deterministic tiebreak). Runs AFTER ``resolve_coref``
+    and overrides ``canon_norm`` only for matched acronyms.
+
+    Fully relational: distinct (conv, acronym) ⋈ distinct (conv,
+    expansion-candidate) on the initials string — both sides are
+    per-conversation surface dictionaries (5-10 rows), never mention
+    occurrences."""
+    from pyspark.sql import Window
+
+    key = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+    # acronym side: the RAW surface is one all-caps token of 2-5 chars
+    acr = (
+        mentions.filter(F.col("surface").rlike(r"^[A-Z]{2,5}$"))
+        .select("conv_id", "surface_norm", F.lower("surface").alias("acr"))
+        .distinct()
+    )
+    # definition side: multi-token surfaces with their initials
+    defs = (
+        mentions.select("conv_id", F.col(key).alias("definition"))
+        .distinct()
+        .withColumn("toks", F.split(F.col("definition"), r"\s+"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "conv_id",
+            "definition",
+            F.lower(
+                F.concat_ws("", F.transform(F.col("toks"), lambda t: t.substr(1, 1)))
+            ).alias("acr"),
+        )
+    )
+    w = Window.partitionBy("conv_id", "surface_norm").orderBy(
+        F.desc(F.length("definition")), F.asc("definition")
+    )
+    chosen = (
+        acr.join(defs, ["conv_id", "acr"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "surface_norm", "definition")
+    )
+    out = mentions.join(chosen, ["conv_id", "surface_norm"], "left")
+    if "canon_norm" in mentions.columns:
+        out = out.withColumn(
+            "canon_norm", F.coalesce(F.col("definition"), F.col("canon_norm"))
+        )
+    else:
+        out = out.withColumn(
+            "canon_norm", F.coalesce(F.col("definition"), F.col("surface_norm"))
+        )
+    return out.drop("definition")
+
+
 def resolve_coref(mentions: DataFrame) -> DataFrame:
     """Doc-local orthographic coref (ELUtils.java:178-208 semantics):
     within a conversation, a mention whose normalized surface is a

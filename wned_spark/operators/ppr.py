@@ -193,6 +193,66 @@ def signature_cosine(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     )
 
 
+def personalized_pagerank_pref(
+    preference: DataFrame,
+    edges: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    max_degree: int | None = None,
+) -> DataFrame:
+    """G6: batched PPR from arbitrary per-seed PREFERENCE VECTORS —
+    the document-signature case (``ELUtils.java:59-94``: one walk per
+    document, preference uniform over its confident entities; here one
+    seed per conversation over its confident surface nodes).
+
+    preference: (seed, node, w); w is sum-normalized per seed here.
+    Strongly preferential (PersonalizedPageRank.java:30): dangling mass
+    returns to the preference vector, scaled by each node's weight.
+    Same alpha / iteration / checkpoint regime as the indicator-seed
+    variant above; one shuffle per iteration regardless of seed count.
+    """
+    alpha = cfg.ppr_alpha
+    trans = normalize_transition(edges, max_degree=max_degree).persist()
+    out_nodes = trans.select("src").distinct()
+
+    wsum = preference.groupBy("seed").agg(F.sum("w").alias("wsum"))
+    pref = (
+        preference.join(wsum, "seed")
+        .select("seed", "node", (F.col("w") / F.col("wsum")).alias("w"))
+        .persist()
+    )
+    ranks = pref.select("seed", "node", F.col("w").alias("rank")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(cfg.ppr_max_iter):
+        spread = (
+            ranks.join(trans, ranks["node"] == trans["src"])
+            .groupBy("seed", "dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+            .select("seed", F.col("dst").alias("node"), (alpha * F.col("mass")).alias("rank"))
+        )
+        dangling = (
+            ranks.join(out_nodes, ranks["node"] == out_nodes["src"], "left_anti")
+            .groupBy("seed")
+            .agg(F.sum("rank").alias("dmass"))
+        )
+        teleport = (
+            pref.join(dangling, "seed", "left")
+            .na.fill({"dmass": 0.0})
+            .select(
+                "seed",
+                "node",
+                (F.col("w") * ((1.0 - alpha) + alpha * F.col("dmass"))).alias("rank"),
+            )
+        )
+        ranks = (
+            spread.union(teleport)
+            .groupBy("seed", "node")
+            .agg(F.sum("rank").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def _zero_kl_directed(pairs: DataFrame, signatures: DataFrame,
                       eps: float, gamma: float) -> DataFrame:
     """ZeroKL(sig_a || sig_b) per pair, relationally: signatures store

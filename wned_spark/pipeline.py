@@ -104,6 +104,12 @@ def run_er_pipeline(
     # ---- mention extraction + doc-local coref (N1/J6) ----
     mentions = stage("mentions", lambda: mention_ops.extract_mentions(transcripts))
     mentions = stage("mentions_coref", lambda: mention_ops.resolve_coref(mentions))
+    if cfg.use_abbrev_expansion:
+        # W8/R10: acronyms defined in-conversation resolve to their
+        # definition surface before anything downstream sees them
+        mentions = stage(
+            "mentions_abbrev", lambda: mention_ops.expand_abbreviations(mentions)
+        )
 
     # ---- distinct surfaces + blocked surface pairs (J2) ----
     surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
@@ -264,6 +270,22 @@ def run_er_pipeline(
 
     surface_clusters = stage("surface_clusters", _surface_clusters)
 
+    # ---- mention-level second pass over AMBIGUOUS surfaces (G6) ----
+    # a surface whose candidate set spans several entities (the planted
+    # acronym case) cannot be split at surface level; its mentions are
+    # re-assigned per conversation by signature argmax. Sized by the
+    # ambiguous slice only — see operators/disambig.py.
+    overrides = None
+    if use_signatures and alias_raw is not None and cfg.use_second_pass:
+        from wned_spark.operators import disambig
+
+        overrides = stage(
+            "ambiguity_overrides",
+            lambda: disambig.second_pass_overrides(
+                mentions, cands, edges, surface_clusters, cfg
+            ),
+        )
+
     # ---- mention assignment: one equi-join on the surface key ----
     def _clusters():
         key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
@@ -271,11 +293,25 @@ def run_er_pipeline(
         # it automatically below the threshold) but at 10^7+ surfaces a
         # sort-merge join is the right plan and the hint would force a
         # driver OOM instead
-        return mentions.select(
+        base = mentions.select(
             "mention_id", F.xxhash64(F.col(key_col)).alias("sid")
         ).join(
             surface_clusters.select("sid", "cluster_id"), "sid"
         ).select("mention_id", "cluster_id")
+        if overrides is None:
+            return base
+        ov = overrides.select(
+            "mention_id", F.col("cluster_id").alias("cluster_override")
+        )
+        return (
+            base.join(ov, "mention_id", "left")
+            .select(
+                "mention_id",
+                F.coalesce(F.col("cluster_override"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
 
     clusters = stage("clusters", _clusters)
 
