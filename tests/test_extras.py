@@ -83,19 +83,40 @@ def test_ann_bruteforce_exact(spark):
 
 
 def test_ann_lsh_recall_and_correct_cosines(spark):
-    emb = spark.read.parquet(EMB)
+    """LSH is a HIGH-cosine retrieval structure: measure recall on
+    planted strong neighbors (cosine >= ~0.95), not on the random
+    low-cosine tail, and require the pairs it does return to carry
+    bit-exact cosines vs brute force.
+
+    (The round-1 version asserted recall 0.5 over random neighbors and
+    passed only because a lambda-arity bug collapsed all hyperplanes
+    into one — i.e. the index was accidentally near-brute-force.)"""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(10):  # queries
+        v = [rng.gauss(0, 1) for _ in range(24)]
+        rows.append((i, v))
+        # two planted strong neighbors per query
+        rows.append((100 + i, [x + rng.gauss(0, 0.08) for x in v]))
+        rows.append((200 + i, [x + rng.gauss(0, 0.12) for x in v]))
+    for i in range(400):  # background noise corpus
+        rows.append((1000 + i, [rng.gauss(0, 1) for _ in range(24)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = emb.filter(F.col("vec_id") < 10)
+
     bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
-          for r in ann.cosine_topk_bruteforce(q, emb, k=5).collect()}
-    lsh_rows = ann.cosine_topk_lsh(q, emb, k=5, n_tables=8).collect()
+          for r in ann.cosine_topk_bruteforce(q, emb, k=2).collect()}
+    lsh_rows = ann.cosine_topk_lsh(q, emb, k=2, n_tables=8).collect()
     lsh = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in lsh_rows}
     # any pair LSH returns must carry the exact cosine
     for k, v in lsh.items():
         if k in bf:
             assert abs(v - bf[k]) < 1e-9
-    # recall@5 of the approximate index over the exact top-5
+    # recall@2 over the exact top-2 (the planted strong neighbors)
     recall = len(set(bf) & set(lsh)) / len(bf)
-    assert recall >= 0.5, recall
+    assert recall >= 0.9, recall
 
 
 def test_language_id_english(spark):
@@ -144,3 +165,78 @@ def test_multimodal_resize_and_frames(spark):
     )
     bad = j.filter(F.col("n") != F.floor(F.col("duration_ms") / 500) + 1)
     assert bad.count() == 0
+
+
+def test_simhash_band_occupancy_bounded(spark):
+    """64-bit default: band buckets must stay near-uniform — the
+    100 TB guarantee is that the band self-join is near-linear, which
+    dies if any band key holds O(n) docs (the round-1 16-bit default
+    did exactly that)."""
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(400)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(words, 30))) for i in range(500)],
+        "doc_id long, text string",
+    )
+    sh = docs.select(F.col("doc_id").alias("doc"), dedup.simhash(F.col("text")).alias("sh"))
+    n_bands, band_bits = 4, 16
+    bands = sh.select(
+        "doc",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i),
+                        F.shiftrightunsigned(F.col("sh"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long")).cast("string"))
+            for i in range(n_bands)
+        ])).alias("band"),
+    )
+    occ = bands.groupBy("band").count()
+    max_occ = occ.agg(F.max("count")).first()[0]
+    # 500 docs over 2^16 buckets/band: random-ish docs must not pile up
+    assert max_occ <= 25, max_occ
+
+
+def test_rp_lsh_bucket_occupancy_bounded(spark):
+    """Multi-table RP buckets: max occupancy stays near n/2^planes for
+    spread-out vectors (the quadratic-within-bucket guard)."""
+    import random
+
+    rng = random.Random(9)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(512)],
+        "vec_id long, embedding array<double>",
+    )
+    from wned_spark.operators.ann import _rp_bucket_t
+
+    planes, n_tables = 8, 4
+    buckets = vecs.select(
+        F.explode(F.array(*[
+            _rp_bucket_t(F.col("embedding"), planes, t) for t in range(n_tables)
+        ])).alias("bk")
+    )
+    occ = buckets.groupBy("bk").count()
+    max_occ = occ.agg(F.max("count")).first()[0]
+    # 512 vectors / 256 buckets ≈ 2 expected; allow generous skew
+    assert max_occ <= 40, max_occ
+
+
+def test_embedding_near_dup_recall_on_planted_pairs(spark):
+    """Planted near-identical vectors (cosine > 0.999) must be found by
+    the banded multi-table RP-LSH path and verified with exact cosine;
+    nothing below threshold comes out."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((i, v))
+        rows.append((1000 + i, [x + rng.gauss(0, 1e-3) for x in v]))  # planted dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb, cosine_threshold=0.99)
+    got = {(r["left_doc"], r["right_doc"]) for r in out.collect()}
+    planted = {(i, 1000 + i) for i in range(60)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, recall
+    assert out.filter(F.col("cosine") < 0.99).count() == 0

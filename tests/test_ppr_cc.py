@@ -237,3 +237,33 @@ def test_surface_context_weights_and_cosine(spark):
     diff_conv = got[(sid["s one"], sid["s three"])]
     assert same_conv > 0.5
     assert diff_conv == 0.0
+
+
+def test_expand_subgraph_with_keep_connected_fallback(spark):
+    """G1 pinned semantics (SubGraphGenerator.java:105-188): neighbors
+    pass a degree floor; a seed none of whose neighbors passed keeps ALL
+    its neighbors (lines 160-175); induced edges need both ends member
+    and a seed on at least one end (lines 176-188).
+
+    Hand oracle: undirected graph 1-2, 1-3, 2-4, 2-3, 10-11 (degrees
+    1:2, 2:3, 3:2, 4:1, 10:1, 11:1), seeds {1, 10}, floor 2.
+    Seed 1's neighbors {2, 3} both pass; seed 10's neighbor 11 fails
+    the floor -> keep-connected rescue adds it anyway. Induced edges:
+    1-2, 1-3, 10-11 (2-3 has no seed end; 2-4 leaves the member set).
+    """
+    from wned_spark.operators.graph import expand_subgraph
+
+    und = [(1, 2), (1, 3), (2, 4), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "nid long")
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in expand_subgraph(seeds, edges, levels=1, degree_floor=2).collect()
+    )
+    expected = sorted(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (10, 11), (11, 10)]
+    )
+    assert got == expected

@@ -56,6 +56,19 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plane_sign(seed: int):
+    """Closure factory for the ±1 hyperplane component at array index j.
+
+    MUST be a factory returning a ONE-argument lambda: Spark's
+    ``transform`` treats a two-parameter lambda as (element, index) —
+    a defaulted ``seed=seed`` parameter would silently be rebound to
+    the array-index column, collapsing every hyperplane into the same
+    vector (and the whole LSH into two giant buckets)."""
+    return lambda j: F.when(
+        F.xxhash64(F.lit(seed), j) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
 def _rp_bucket(vec_col, planes: int = 8):
     """Random-projection sign bucket from pinned xxhash64 hyperplanes —
     deterministic across runs/parallelism (no driver RNG)."""
@@ -65,12 +78,7 @@ def _rp_bucket(vec_col, planes: int = 8):
         dot = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), d - 1),
-                    lambda j, p=p: F.when(
-                        F.xxhash64(F.lit(p * 131071), j) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(0), d - 1), _plane_sign(p * 131071)),
                 lambda x, s: x.cast("double") * s,
             ),
             F.lit(0.0),
@@ -128,15 +136,12 @@ def _rp_bucket_t(vec_col, planes: int, table: int):
     d = F.size(vec_col)
     bits = []
     for p in range(planes):
-        seed = (table * 7919 + p) * 131071
         dot = F.aggregate(
             F.zip_with(
                 vec_col,
                 F.transform(
                     F.sequence(F.lit(0), d - 1),
-                    lambda j, seed=seed: F.when(
-                        F.xxhash64(F.lit(seed), j) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
+                    _plane_sign((table * 7919 + p) * 131071),
                 ),
                 lambda x, s: x.cast("double") * s,
             ),
