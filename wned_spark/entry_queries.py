@@ -575,6 +575,74 @@ def r13_milne_witten(spark, sf_dir):
     )
 
 
+@register(
+    "a6_feature_norm",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)
+                 / SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey), 6) AS qty_norm,
+           ROUND(CAST(l_linenumber AS DOUBLE)
+                 / SUM(l_linenumber) OVER (PARTITION BY l_orderkey), 6) AS line_norm
+    FROM lineitem
+    """,
+)
+def a6_feature_norm(spark, sf_dir):
+    """A6: per-group multi-column feature sum-normalization
+    (L2RPredictor.java:44-57's per-mention candidate-list normalization
+    as one windowed op). Integer-valued inputs keep the window sums
+    exact across engines."""
+    from wned_spark.operators.scoring import sum_normalize_per_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty_norm"),
+        F.col("l_linenumber").cast("int").alias("line_norm"),
+    )
+    out = sum_normalize_per_group(li, ["l_orderkey"], ["qty_norm", "line_norm"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("qty_norm", 6).alias("qty_norm"),
+        F.round("line_norm", 6).alias("line_norm"),
+    )
+
+
+@register(
+    "u3_union_probsum",
+    """
+    WITH a AS (SELECT user_id, event_type AS entity_id, COUNT(*) AS prior
+               FROM events WHERE value > 100 GROUP BY 1, 2),
+    b AS (SELECT user_id, event_type AS entity_id, COUNT(*) AS prior
+          FROM events WHERE value <= 100 GROUP BY 1, 2),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    s AS (SELECT user_id, entity_id, SUM(prior) AS p FROM u GROUP BY 1, 2),
+    n AS (
+      SELECT user_id, entity_id,
+             CAST(p AS DOUBLE)
+             / CAST(SUM(p) OVER (PARTITION BY user_id) AS DOUBLE) AS prior
+      FROM s
+    )
+    SELECT user_id, entity_id, ROUND(prior, 6) AS prior
+    FROM n WHERE prior >= 0.00002
+    """,
+)
+def u3_union_probsum(spark, sf_dir):
+    """U3: candidate-set union + probability-sum + renormalization +
+    post-merge floor (CSUtils.java:34,190-199) over two event-derived
+    candidate sources."""
+    from wned_spark.operators.candidates import merge_candidate_sets
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 100).groupBy(
+        "user_id", F.col("event_type").alias("entity_id")
+    ).agg(F.count("*").alias("prior"))
+    b = ev.filter(F.col("value") <= 100).groupBy(
+        "user_id", F.col("event_type").alias("entity_id")
+    ).agg(F.count("*").alias("prior"))
+    out = merge_candidate_sets([a, b], id_col="user_id")
+    return out.select("user_id", "entity_id", F.round("prior", 6).alias("prior"))
+
+
 _R7_SQL = """
     WITH w AS (
       SELECT l_suppkey AS s, l_partkey AS part,

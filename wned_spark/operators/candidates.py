@@ -84,6 +84,42 @@ def select_candidates(
     )
 
 
+def filter_candidates_by_type(
+    cands: DataFrame, entities: DataFrame, allowed_types: list[str]
+) -> DataFrame:
+    """F2: entity-type compatibility filter — drop candidates whose KB
+    type is outside the allowed set (the reference restricts candidate
+    sets to NER-compatible entity pages; its page-type filters live in
+    ``kb/KBExtractor.java`` and the candidate gate in
+    ``utils/CSUtils.java``). entities: (entity_id, ..., type)."""
+    ok = entities.filter(F.col("type").isin(allowed_types)).select("entity_id")
+    return cands.join(ok, "entity_id", "left_semi")
+
+
+def merge_candidate_sets(
+    cand_sets: list[DataFrame],
+    id_col: str = "mention_id",
+    cfg: ERConfig = ERConfig(),
+) -> DataFrame:
+    """U3: union candidate sets from several sources with
+    probability-sum and per-mention renormalization, then the post-merge
+    prior floor (``utils/CSUtils.java:34,190-199``: exact + fuzzy
+    candidate lists merge by summing weights before the floor).
+
+    Each input: (id_col, entity_id, prior). Output: same shape, priors
+    renormalized to sum 1 per id, floored at ``cfg.prior_floor``."""
+    u = cand_sets[0].select(id_col, "entity_id", "prior")
+    for d in cand_sets[1:]:
+        u = u.union(d.select(id_col, "entity_id", "prior"))
+    summed = u.groupBy(id_col, "entity_id").agg(F.sum("prior").alias("p"))
+    w = Window.partitionBy(id_col)
+    return (
+        summed.withColumn("prior", F.col("p") / F.sum("p").over(w))
+        .filter(F.col("prior") >= cfg.prior_floor)
+        .select(id_col, "entity_id", "prior")
+    )
+
+
 def prior_argmax_linking(
     mentions: DataFrame, alias_dict: DataFrame, cfg: ERConfig = ERConfig()
 ) -> DataFrame:

@@ -14,6 +14,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def reconcile_gold_offsets(mentions: DataFrame, gold_mentions: DataFrame) -> DataFrame:
+    """N4: mention-offset reconciliation (``utils/DocumentUtils.java:66-143``):
+    gold rows match extracted mentions by the exact (conv, turn, start)
+    key first; the remainder falls back to SPAN CONTAINMENT within the
+    same turn (the gold span inside the extracted span — the
+    reference's containment walk over annotation offsets), choosing the
+    tightest containing mention deterministically.
+
+    Returns (mention_id, entity_id)."""
+    from pyspark.sql import Window
+
+    m = mentions.select(
+        "mention_id", "conv_id", "turn_idx",
+        F.col("start").alias("m_start"), F.col("end").alias("m_end"),
+    )
+    exact_key = F.xxhash64("conv_id", "turn_idx", "start")
+    gold = gold_mentions.select(
+        "conv_id", "turn_idx", "start", "end", "entity_id",
+        exact_key.alias("gkey"),
+    )
+    exact = gold.join(
+        m.withColumn("gkey", F.xxhash64("conv_id", "turn_idx", F.col("m_start"))),
+        "gkey",
+    ).select("mention_id", "entity_id")
+
+    missed = gold.join(
+        m.withColumn("gkey", F.xxhash64("conv_id", "turn_idx", F.col("m_start"))),
+        "gkey",
+        "left_anti",
+    )
+    contained = (
+        missed.join(m, ["conv_id", "turn_idx"])
+        .filter((F.col("m_start") <= F.col("start")) & (F.col("end") <= F.col("m_end")))
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "start", "end").orderBy(
+        F.asc(F.col("m_end") - F.col("m_start")), F.asc("mention_id")
+    )
+    fallback = (
+        contained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("mention_id", "entity_id")
+    )
+    return exact.union(fallback)
+
+
 def label_pairs(pairs: DataFrame, gold_mentions_keyed: DataFrame) -> DataFrame:
     """pairs(left_id, right_id) ⋈ gold entity per side →
     + is_match column (F5). gold_mentions_keyed: (mention_id, entity_id)."""

@@ -153,6 +153,24 @@ def personalized_pagerank(
     return ranks
 
 
+def renormalize_signatures(signatures: DataFrame, tol: float = 1e-4) -> DataFrame:
+    """R14: stochastic-vector guard (``utils/ELUtils.java:81-83``): a
+    signature whose total mass drifts from 1.0 beyond ``tol`` (numeric
+    loss, truncated fan-out) is renormalized; in-tolerance signatures
+    pass through bit-unchanged."""
+    mass = signatures.groupBy("seed").agg(F.sum("rank").alias("mass"))
+    return (
+        signatures.join(mass, "seed")
+        .select(
+            "seed",
+            "node",
+            F.when(F.abs(F.col("mass") - 1.0) <= tol, F.col("rank"))
+            .otherwise(F.col("rank") / F.col("mass"))
+            .alias("rank"),
+        )
+    )
+
+
 def signature_cosine(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     """Pairwise cosine between two seeds' signatures (R6 long-form).
 

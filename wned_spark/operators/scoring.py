@@ -163,6 +163,26 @@ def shared_prior_feature(pairs: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def sum_normalize_per_group(
+    df: DataFrame, group_cols: list[str], cols: list[str]
+) -> DataFrame:
+    """A6: per-mention feature sum-normalization
+    (``disambiguation/L2RPredictor.java:44-57``): each feature column is
+    divided by its sum over the group (the mention's candidate list).
+    Zero-sum features stay zero (the reference skips them the same
+    way). One window, no shuffle beyond the group partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols)
+    out = df
+    for c in cols:
+        s = F.sum(c).over(w)
+        out = out.withColumn(
+            c, F.when(s == 0, F.col(c)).otherwise(F.col(c) / s)
+        )
+    return out
+
+
 def combine_scores(
     features: DataFrame, cfg: ERConfig = ERConfig()
 ) -> DataFrame:
