@@ -113,10 +113,17 @@ def candidate_surface_pairs(
     surfaces: DataFrame, cfg: ERConfig = ERConfig(), salted: bool = True
 ) -> DataFrame:
     """Blocked self-join over distinct surfaces → candidate pairs
-    (left_sid < right_sid) carrying both normalized strings."""
+    (left_sid < right_sid) carrying both normalized strings.
+
+    The key table is lazily checkpointed before the self-join: the
+    MinHash band keys are a ~48-expression tree, and planning the
+    self-join over TWO copies of it (plus the salting join) costs
+    multiple seconds of serial driver time; a flat LogicalRDD keeps the
+    join plan small, and the keys are computed once instead of twice."""
     keys = block_keys(surfaces, cfg)
     if salted:
         keys = salt_hot_keys(keys, cfg)
+    keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(b, "block_key")

@@ -31,12 +31,21 @@ def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
 
 
 def doc_term_weights(tokens: DataFrame, doc_col: str = "doc") -> DataFrame:
-    """(doc, term) rows → (doc, term, tf, df, tfidf). A3 + A4."""
+    """(doc, term) rows → (doc, term, tf, df, tfidf). A3 + A4.
+
+    N (corpus size) joins in as a one-row aggregate (broadcast nested
+    loop of a single row) instead of a driver ``count()``: the literal
+    would force a full job at PLAN-BUILD time — a serial barrier on
+    every pipeline construction, measured at seconds on a corpus-sized
+    token table."""
     tf = tokens.groupBy(doc_col, "term").agg(F.count("*").alias("freq"))
-    n_docs = tokens.select(doc_col).distinct().count()
+    n = tokens.agg(
+        F.countDistinct(doc_col).cast("double").alias("n_docs")
+    )
     df_ = tf.groupBy("term").agg(F.countDistinct(doc_col).alias("df"))
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
         .select(
             doc_col,
             "term",
@@ -44,7 +53,7 @@ def doc_term_weights(tokens: DataFrame, doc_col: str = "doc") -> DataFrame:
             "df",
             (
                 F.sqrt(F.col("freq"))
-                * (1.0 + F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)))
+                * (1.0 + F.log(F.col("n_docs") / (F.col("df") + 1.0)))
             ).alias("tfidf"),
         )
     )

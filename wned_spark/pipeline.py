@@ -79,26 +79,38 @@ def run_er_pipeline(
 
     timing = os.environ.get("WNED_STAGE_TIMING") == "1"
 
-    def stage(name: str, fn, **kw) -> DataFrame:
+    def stage(name: str, fn, ckpt: bool = True, **kw) -> DataFrame:
         if catalog is not None:
             return catalog.run_stage(name, fn, **kw)
-        # LAZY LOCAL CHECKPOINT, not persist(): besides caching the
-        # data, it truncates the LOGICAL plan to a flat LogicalRDD.
-        # With plain persist() the cache serves the data but Catalyst
-        # still re-analyzes the full upstream tree on every downstream
-        # action — and AQE re-plans per shuffle stage, so driver-side
-        # planning compounded to ~5s per sub-stage by the end of the
-        # ~14-stage pipeline (measured: signature cosine over 31 cached
-        # rows took 58s with deep lineage, 0.3s with truncated plans).
-        # eager=False adds no job barrier; the first downstream action
-        # materializes the stage, later ones reuse it. (Catalog mode
-        # truncates naturally: stages are written + read back as
-        # parquet snapshots.)
-        d = fn().localCheckpoint(eager=False)
+        # HUB stages (ckpt=True) take a LAZY LOCAL CHECKPOINT: besides
+        # caching the data, it truncates the LOGICAL plan to a flat
+        # LogicalRDD. With plain persist() the cache serves the data
+        # but Catalyst still re-analyzes the full upstream tree on
+        # every downstream action — and AQE re-plans per shuffle
+        # stage, so driver-side planning compounded to ~5s per
+        # sub-stage by the end of the pipeline (measured: signature
+        # cosine over 31 cached rows took 58s deep vs 0.3s flat).
+        #
+        # BRANCH stages (ckpt=False) only persist(): under AQE even an
+        # eager=False localCheckpoint EXECUTES its shuffles at
+        # construction time (measured), which serializes the whole
+        # pipeline stage-by-stage on the driver. Leaving the
+        # independent feature branches (sig cosine / sig KL / ctx /
+        # prior) un-truncated lets ONE downstream action submit them
+        # together, and the DAG scheduler runs their shuffle stages
+        # CONCURRENTLY across cores. Their plans stay shallow because
+        # every input they read is already a checkpointed hub.
+        # (Catalog mode truncates naturally: parquet snapshots.)
+        t0 = _time.time()
+        d = fn()
+        d = d.localCheckpoint(eager=False) if ckpt else d.persist()
         if timing:
-            t0 = _time.time()
+            t1 = _time.time()
             n = d.count()
-            print(f"[stage] {name}: {_time.time()-t0:.1f}s rows={n}", flush=True)
+            print(
+                f"[stage] {name}: build={t1-t0:.1f}s mat={_time.time()-t1:.1f}s rows={n}",
+                flush=True,
+            )
         return d
 
     # ---- mention extraction + doc-local coref (N1/J6) ----
@@ -171,6 +183,7 @@ def run_er_pipeline(
             lambda: ppr.signature_cosine(node_pairs, sigs).withColumnRenamed(
                 "seed_a", "left_sid"
             ).withColumnRenamed("seed_b", "right_sid"),
+            ckpt=False,
         )
         survivors = survivors.join(
             sig_sim, ["left_sid", "right_sid"], "left"
@@ -187,6 +200,7 @@ def run_er_pipeline(
             ).withColumnRenamed("seed_a", "left_sid").withColumnRenamed(
                 "seed_b", "right_sid"
             ),
+            ckpt=False,
         )
         survivors = survivors.join(
             sig_kl, ["left_sid", "right_sid"], "left"
@@ -212,6 +226,7 @@ def run_er_pipeline(
                 ctx_pairs, ctx_w, doc_col="sid",
                 left_col="left_sid", right_col="right_sid",
             ),
+            ckpt=False,
         )
         survivors = survivors.join(
             ctx_sim, ["left_sid", "right_sid"], "left"

@@ -66,6 +66,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep coalescing from collapsing mid-size stages below the
+        # core count: the default 1 MB floor turns a 30 MB shuffle into
+        # ~30 tasks — fine — but a 2 MB shuffle into 2, serializing
+        # whole stages of the pipeline on one core
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
