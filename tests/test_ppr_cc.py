@@ -267,3 +267,59 @@ def test_expand_subgraph_with_keep_connected_fallback(spark):
         [(1, 2), (2, 1), (1, 3), (3, 1), (10, 11), (11, 10)]
     )
     assert got == expected
+
+
+def test_pref_ppr_broadcast_matches_join_based(spark):
+    """G6 broadcast path ≡ join-based preference PPR, including a
+    preference node absent from the graph (pure-dangling holder)."""
+    from wned_spark.operators.ppr import (
+        personalized_pagerank_pref, personalized_pagerank_pref_broadcast,
+    )
+
+    rng = random.Random(11)
+    und = set()
+    while len(und) < 25:
+        a, b = rng.randrange(12), rng.randrange(12)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    rows = [(a, b, float(1 + rng.randrange(3))) for a, b in und]
+    edges = spark.createDataFrame(
+        rows + [(b, a, w) for a, b, w in rows], "src long, dst long, weight double"
+    )
+    pref = spark.createDataFrame(
+        [
+            (100, 0, 1.0), (100, 3, 1.0), (100, 7, 2.0),
+            (200, 5, 1.0), (200, 999, 1.0),  # 999 absent from the graph
+        ],
+        "seed long, node long, w double",
+    )
+    cfg = ERConfig()
+    a = {
+        (r["seed"], r["node"]): r["rank"]
+        for r in personalized_pagerank_pref(pref, edges, cfg).collect()
+    }
+    b = {
+        (r["seed"], r["node"]): r["rank"]
+        for r in personalized_pagerank_pref_broadcast(pref, edges, cfg).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, k
+    # mass conservation per seed
+    for seed in (100, 200):
+        assert abs(sum(v for (s, _n), v in a.items() if s == seed) - 1.0) < 1e-6
+
+
+def test_connected_components_auto_matches_distributed(spark):
+    from wned_spark.operators.cc import connected_components, connected_components_auto
+
+    rng = random.Random(13)
+    edges = []
+    for _ in range(60):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "u long, v long")
+    d1 = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    d2 = {r["node"]: r["component"] for r in connected_components_auto(df).collect()}
+    assert d1 == d2

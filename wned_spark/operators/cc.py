@@ -57,6 +57,84 @@ def _checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
+def _union_find_local(edges: DataFrame) -> DataFrame:
+    """Driver union-find over an Arrow-collected edge list — the small-
+    graph fast path of ``connected_components_auto``. Identical output
+    contract (min-id component per node)."""
+    import numpy as np
+
+    tbl = edges.toArrow()
+    u = tbl.column("u").to_numpy().astype(np.int64, copy=False)
+    v = tbl.column("v").to_numpy().astype(np.int64, copy=False)
+    uniq = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(uniq, u)
+    vi = np.searchsorted(uniq, v)
+    try:
+        # C-speed path: scipy's union-find over a sparse adjacency
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components as _scc
+
+        n_ = len(uniq)
+        adj = coo_matrix(
+            (np.ones(len(ui), dtype=np.int8), (ui, vi)), shape=(n_, n_)
+        )
+        _k, labels = _scc(adj, directed=False)
+        # min original node id per label keeps the min-id convention
+        min_per_label = np.full(_k, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_per_label, labels, uniq)
+        comp = min_per_label[labels]
+    except ImportError:
+        parent = np.arange(len(uniq))
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        for a, b in zip(ui, vi):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min original id keeps the min-id convention
+                if uniq[ra] < uniq[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        comp = uniq[np.array([find(i) for i in range(len(uniq))])]
+    import pandas as pd
+
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame({"node": uniq, "component": comp}),
+        "node long, component long",
+    )
+
+
+def connected_components_auto(
+    edges: DataFrame, max_iter: int = 20, local_threshold: int = 500_000
+) -> DataFrame:
+    """CC with a size-gated physical strategy (same output either way):
+    below ``local_threshold`` edges, Arrow-collect and union-find on
+    the driver — the surface MATCH graph is dictionary-sized (its node
+    count is bounded by distinct surfaces, not corpus rows), so at
+    10^12 turns it is still a small edge list (threshold sized for
+    the pure-python union-find; with scipy present the C path handles
+    millions) and the
+    large-star/small-star rounds' ~10 job barriers dominate their own
+    runtime. Above the threshold, the distributed alternating-star
+    algorithm below. The same decision shape as AQE's broadcast-vs-
+    shuffle join, applied to the iterative operator."""
+    e = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct().persist()
+    n = e.count()
+    if n == 0:
+        return e.sparkSession.createDataFrame([], "node long, component long")
+    if n <= local_threshold:
+        return _union_find_local(e)
+    return connected_components(e, max_iter)
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20
 ) -> DataFrame:

@@ -98,15 +98,27 @@ def second_pass_overrides(
     reps = entity_rep_surfaces(cands, amb).persist()
 
     # one batched PPR for the conversation preference vectors, one for
-    # the representative indicator seeds (both tiny seed sets)
-    conv_sigs = ppr.personalized_pagerank_pref(
-        preference, edges, cfg, max_degree=cfg.ppr_max_degree
-    )
+    # the representative indicator seeds (both tiny seed sets); same
+    # broadcast-vs-join gate as the main pipeline — the broadcast CSR
+    # path runs each walk shuffle-free, which matters here because the
+    # join-based variant costs ~3 barriered shuffles per iteration on a
+    # side-pipeline that is usually tiny
     rep_seeds = reps.select(F.col("rep_sid").alias("seed")).distinct()
-    rep_sigs = ppr.personalized_pagerank(
-        rep_seeds, edges, cfg, check_delta=False, symmetric=True,
-        max_degree=cfg.ppr_max_degree,
-    )
+    if edges.count() <= cfg.ppr_broadcast_max_edges:
+        conv_sigs = ppr.personalized_pagerank_pref_broadcast(
+            preference, edges, cfg, max_degree=cfg.ppr_max_degree
+        )
+        rep_sigs = ppr.personalized_pagerank_broadcast(
+            rep_seeds, edges, cfg, max_degree=cfg.ppr_max_degree
+        )
+    else:
+        conv_sigs = ppr.personalized_pagerank_pref(
+            preference, edges, cfg, max_degree=cfg.ppr_max_degree
+        )
+        rep_sigs = ppr.personalized_pagerank(
+            rep_seeds, edges, cfg, check_delta=False, symmetric=True,
+            max_degree=cfg.ppr_max_degree,
+        )
     sigs = conv_sigs.union(rep_sigs.select("seed", "node", "rank"))
 
     # candidate (conversation, entity-rep) pairs per ambiguous mention

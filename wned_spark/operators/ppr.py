@@ -367,28 +367,7 @@ def personalized_pagerank_broadcast(
     import pandas as pd
 
     alpha = cfg.ppr_alpha
-    tarrow = normalize_transition(edges, max_degree=max_degree).toArrow()
-    raw_src = tarrow.column("src").to_numpy().astype(np.int64, copy=False)
-    raw_dst = tarrow.column("dst").to_numpy().astype(np.int64, copy=False)
-    p = tarrow.column("p").to_numpy().astype(np.float64, copy=False)
-    del tarrow
-    # dense-rank node ids into [0, n)
-    uniq = np.unique(np.concatenate([raw_src, raw_dst]))
-    n = len(uniq)
-    src = np.searchsorted(uniq, raw_src)
-    dst = np.searchsorted(uniq, raw_dst)
-    order = np.argsort(src, kind="stable")
-    src, dst, p = src[order], dst[order], p[order]
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, src + 1, 1)
-    indptr = np.cumsum(indptr)
-    has_out = np.zeros(n, dtype=bool)
-    has_out[src] = True
-    rev_ids = uniq  # sorted: dense index -> original node id, and the
-    # searchsorted lookup table for seed resolution executor-side
-
-    sc = seeds.sparkSession.sparkContext
-    bc = sc.broadcast((n, indptr, dst, p, has_out, rev_ids))
+    bc = _csr_broadcast(edges, max_degree)
 
     def run_batch(batches):
         n_, indptr_, dst_, p_, has_out_, rev_ = bc.value
@@ -404,33 +383,13 @@ def personalized_pagerank_broadcast(
                     out_node.append(raw_seed)
                     out_rank.append(1.0)
                     continue
-                idx = np.array([six], dtype=np.int64)
-                val = np.array([1.0])
-                for _ in range(cfg.ppr_max_iter):
-                    # spread: alpha * sum over nonzeros of val * P[row].
-                    # accumulation stays sparse — sized by the frontier's
-                    # nonzeros, never by |V| (a full-length bincount per
-                    # seed per iteration is O(|V|) and dominates at scale)
-                    counts = indptr_[idx + 1] - indptr_[idx]
-                    dangling = float(val[counts == 0].sum())
-                    nz = counts > 0
-                    if nz.any():
-                        starts = indptr_[idx[nz]]
-                        lens = counts[nz]
-                        flat = np.concatenate(
-                            [np.arange(s, s + l) for s, l in zip(starts, lens)]
-                        )
-                        cat_i = dst_[flat]
-                        cat_v = np.repeat(val[nz], lens) * p_[flat]
-                        # append the teleport entry, then sparse-aggregate
-                        cat_i = np.append(cat_i, six)
-                        cat_v = np.append(cat_v * alpha,
-                                          (1.0 - alpha) + alpha * dangling)
-                        idx, inv = np.unique(cat_i, return_inverse=True)
-                        val = np.bincount(inv, weights=cat_v)
-                    else:
-                        idx = np.array([six], dtype=np.int64)
-                        val = np.array([(1.0 - alpha) + alpha * dangling])
+                idx, val = _ppr_sparse(
+                    bc.value,
+                    np.array([six], dtype=np.int64),
+                    np.array([1.0]),
+                    alpha,
+                    cfg.ppr_max_iter,
+                )
                 out_seed.extend([raw_seed] * len(idx))
                 out_node.extend(rev_[idx].tolist())
                 out_rank.extend(val.tolist())
@@ -439,3 +398,115 @@ def personalized_pagerank_broadcast(
     return seeds.select(F.col("seed").cast("long")).repartition(
         seeds.sparkSession.sparkContext.defaultParallelism
     ).mapInPandas(run_batch, schema="seed long, node long, rank double")
+
+
+def _csr_broadcast(edges: DataFrame, max_degree: int | None):
+    """Row-normalize, Arrow-collect and CSR-pack the transition matrix,
+    then broadcast the numpy arrays: (n, indptr, dst, p, has_out,
+    rev_ids). rev_ids is sorted — both the dense→original map and the
+    searchsorted lookup table."""
+    import numpy as np
+
+    tarrow = normalize_transition(edges, max_degree=max_degree).toArrow()
+    raw_src = tarrow.column("src").to_numpy().astype(np.int64, copy=False)
+    raw_dst = tarrow.column("dst").to_numpy().astype(np.int64, copy=False)
+    p = tarrow.column("p").to_numpy().astype(np.float64, copy=False)
+    del tarrow
+    uniq = np.unique(np.concatenate([raw_src, raw_dst]))
+    n = len(uniq)
+    src = np.searchsorted(uniq, raw_src)
+    dst = np.searchsorted(uniq, raw_dst)
+    order = np.argsort(src, kind="stable")
+    src, dst, p = src[order], dst[order], p[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[src] = True
+    sc = edges.sparkSession.sparkContext
+    return sc.broadcast((n, indptr, dst, p, has_out, uniq))
+
+
+def _ppr_sparse(csr, pidx, pval, alpha: float, iters: int):
+    """Per-seed sparse power iteration against the CSR arrays, with an
+    arbitrary preference vector (pidx dense-indices, pval weights;
+    entries with index >= n are graph-absent: pure-dangling receivers
+    of their own teleport mass). The accumulator stays sized by the
+    frontier's nonzeros, never O(|V|)."""
+    import numpy as np
+
+    n_, indptr_, dst_, p_, _has_out, _rev = csr
+    idx, val = pidx.copy(), pval.copy()
+    for _ in range(iters):
+        safe = np.minimum(idx, n_ - 1)
+        counts = np.where(idx < n_, indptr_[safe + 1] - indptr_[safe], 0)
+        dangling = float(val[counts == 0].sum())
+        nz = counts > 0
+        teleport = pval * ((1.0 - alpha) + alpha * dangling)
+        if nz.any():
+            starts = indptr_[idx[nz]]
+            lens = counts[nz]
+            flat = np.concatenate(
+                [np.arange(s, s + l) for s, l in zip(starts, lens)]
+            )
+            cat_i = np.append(dst_[flat], pidx)
+            cat_v = np.append(np.repeat(val[nz], lens) * p_[flat] * alpha, teleport)
+            idx, inv = np.unique(cat_i, return_inverse=True)
+            val = np.bincount(inv, weights=cat_v)
+        else:
+            idx, val = pidx.copy(), teleport
+    return idx, val
+
+
+def personalized_pagerank_pref_broadcast(
+    preference: DataFrame,
+    edges: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Broadcast-CSR variant of ``personalized_pagerank_pref`` (G6):
+    one ``applyInPandas`` group per seed runs the whole walk in numpy
+    against the shared transition matrix — zero shuffles per iteration
+    versus ~3 for the join-based variant, the right plan whenever the
+    dictionary graph fits executor memory. Semantics identical
+    (strongly-preferential dangling; per-seed weight normalization);
+    preference nodes absent from the graph hold pure-dangling mass."""
+    import numpy as np
+    import pandas as pd
+
+    alpha = cfg.ppr_alpha
+    iters = cfg.ppr_max_iter
+    bc = _csr_broadcast(edges, max_degree)
+
+    def one_seed(pdf: pd.DataFrame) -> pd.DataFrame:
+        csr = bc.value
+        n_, _indptr, _dst, _p, _has_out, rev_ = csr
+        seed = int(pdf["seed"].iloc[0])
+        nodes = pdf["node"].to_numpy(dtype=np.int64)
+        w = pdf["w"].to_numpy(dtype=np.float64)
+        w = w / w.sum()
+        pos = np.searchsorted(rev_, nodes)
+        pos_safe = np.minimum(pos, n_ - 1)
+        present = rev_[pos_safe] == nodes
+        # graph-absent preference nodes get virtual indices >= n
+        pidx = np.where(present, pos_safe, n_ + np.arange(len(nodes)))
+        # de-dup preference nodes (defensive)
+        pidx, inv = np.unique(pidx, return_inverse=True)
+        pval = np.bincount(inv, weights=w)
+        idx, val = _ppr_sparse(csr, pidx.astype(np.int64), pval, alpha, iters)
+        # map dense indices back: virtual indices recover the raw node id
+        absent_map = {int(n_ + k): int(nodes[k]) for k in range(len(nodes))}
+        out_nodes = [
+            int(rev_[i]) if i < n_ else absent_map[int(i)] for i in idx
+        ]
+        return pd.DataFrame(
+            {"seed": seed, "node": out_nodes, "rank": val}
+        )
+
+    return (
+        preference.select(
+            F.col("seed").cast("long"), F.col("node").cast("long"), F.col("w")
+        )
+        .groupBy("seed")
+        .applyInPandas(one_seed, schema="seed long, node long, rank double")
+    )

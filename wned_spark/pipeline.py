@@ -113,15 +113,19 @@ def run_er_pipeline(
             )
         return d
 
-    # ---- mention extraction + doc-local coref (N1/J6) ----
-    mentions = stage("mentions", lambda: mention_ops.extract_mentions(transcripts))
-    mentions = stage("mentions_coref", lambda: mention_ops.resolve_coref(mentions))
-    if cfg.use_abbrev_expansion:
-        # W8/R10: acronyms defined in-conversation resolve to their
-        # definition surface before anything downstream sees them
-        mentions = stage(
-            "mentions_abbrev", lambda: mention_ops.expand_abbreviations(mentions)
-        )
+    # ---- mention extraction + doc-local coref + W8 expansion
+    # (N1/J6/W8) — ONE stage: the three maps have no other consumers
+    # in between, and every stage boundary costs a serialized AQE
+    # materialization barrier ----
+    def _mentions():
+        m = mention_ops.resolve_coref(mention_ops.extract_mentions(transcripts))
+        if cfg.use_abbrev_expansion:
+            # acronyms defined in-conversation resolve to their
+            # definition surface before anything downstream sees them
+            m = mention_ops.expand_abbreviations(m)
+        return m
+
+    mentions = stage("mentions", _mentions)
 
     # ---- distinct surfaces + blocked surface pairs (J2) ----
     surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
@@ -218,6 +222,7 @@ def run_er_pipeline(
             lambda: tfidf_ops.surface_context_weights(
                 mentions, transcripts, window_turns=cfg.ctx_window_turns
             ),
+            ckpt=False,
         )
         ctx_pairs = survivors.select("left_sid", "right_sid").distinct()
         ctx_sim = stage(
@@ -234,12 +239,15 @@ def run_er_pipeline(
 
     # ---- prior feature via alias dictionary at surface level (J1/A2) ----
     if alias_raw is not None:
-        alias_dict = stage("alias_dict", lambda: cand_ops.build_alias_dict(alias_raw))
+        alias_dict = stage(
+            "alias_dict", lambda: cand_ops.build_alias_dict(alias_raw), ckpt=False
+        )
         cands = stage(
             "surface_candidates",
             lambda: cand_ops.select_candidates(
                 surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
             ),
+            ckpt=False,
         )
         cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
         cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
@@ -272,7 +280,7 @@ def run_er_pipeline(
         edges_m = scored.filter(F.col("score") >= cfg.match_threshold).select(
             F.col("left_sid").alias("u"), F.col("right_sid").alias("v")
         )
-        comp = cc.connected_components(edges_m, cfg.cc_max_iter)
+        comp = cc.connected_components_auto(edges_m, cfg.cc_max_iter)
         return (
             surfaces.select(F.col("sid").alias("node"), "sn")
             .join(comp, "node", "left")

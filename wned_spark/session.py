@@ -65,12 +65,13 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE sizes reducer counts by DATA, not core count (default
+        # 1 MB floor): small shuffles coalesce to a few chunky tasks —
+        # measured faster than forcing core-count partitions, because
+        # local-mode scheduling overhead scales with task count while
+        # sub-50ms tasks gain nothing from extra threads. Large
+        # shuffles still fan out wide.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # keep coalescing from collapsing mid-size stages below the
-        # core count: the default 1 MB floor turns a 30 MB shuffle into
-        # ~30 tasks — fine — but a 2 MB shuffle into 2, serializing
-        # whole stages of the pipeline on one core
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
