@@ -105,11 +105,14 @@ def second_pass_overrides(
     # side-pipeline that is usually tiny
     rep_seeds = reps.select(F.col("rep_sid").alias("seed")).distinct()
     if edges.count() <= cfg.ppr_broadcast_max_edges:
+        # ONE shared CSR broadcast: both walks read the same transition
+        # matrix; building it twice doubles the normalize+collect cost
+        bc = ppr._csr_broadcast(edges, cfg.ppr_max_degree)
         conv_sigs = ppr.personalized_pagerank_pref_broadcast(
-            preference, edges, cfg, max_degree=cfg.ppr_max_degree
+            preference, edges, cfg, max_degree=cfg.ppr_max_degree, csr_bc=bc
         )
         rep_sigs = ppr.personalized_pagerank_broadcast(
-            rep_seeds, edges, cfg, max_degree=cfg.ppr_max_degree
+            rep_seeds, edges, cfg, max_degree=cfg.ppr_max_degree, csr_bc=bc
         )
     else:
         conv_sigs = ppr.personalized_pagerank_pref(

@@ -338,6 +338,7 @@ def personalized_pagerank_broadcast(
     edges: DataFrame,
     cfg: ERConfig = ERConfig(),
     max_degree: int | None = None,
+    csr_bc=None,
 ) -> DataFrame:
     """Broadcast-graph PPR: same semantics as ``personalized_pagerank``
     (alpha, 3 iterations, strongly-preferential dangling) computed by
@@ -367,7 +368,7 @@ def personalized_pagerank_broadcast(
     import pandas as pd
 
     alpha = cfg.ppr_alpha
-    bc = _csr_broadcast(edges, max_degree)
+    bc = csr_bc if csr_bc is not None else _csr_broadcast(edges, max_degree)
 
     def run_batch(batches):
         n_, indptr_, dst_, p_, has_out_, rev_ = bc.value
@@ -463,6 +464,7 @@ def personalized_pagerank_pref_broadcast(
     edges: DataFrame,
     cfg: ERConfig = ERConfig(),
     max_degree: int | None = None,
+    csr_bc=None,
 ) -> DataFrame:
     """Broadcast-CSR variant of ``personalized_pagerank_pref`` (G6):
     one ``applyInPandas`` group per seed runs the whole walk in numpy
@@ -476,7 +478,7 @@ def personalized_pagerank_pref_broadcast(
 
     alpha = cfg.ppr_alpha
     iters = cfg.ppr_max_iter
-    bc = _csr_broadcast(edges, max_degree)
+    bc = csr_bc if csr_bc is not None else _csr_broadcast(edges, max_degree)
 
     def one_seed(pdf: pd.DataFrame) -> pd.DataFrame:
         csr = bc.value

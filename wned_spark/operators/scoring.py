@@ -34,9 +34,19 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
 
     Levenshtein + Dice stay JVM-side; Jaro-Winkler is the one
     Arrow-batched pandas UDF (R3 has no Catalyst builtin).
+
+    The input is explicitly repartitioned to 2× core count: AQE sizes
+    reducer counts by BYTES, and a name-pair table is only a few MB
+    per million rows while the JW/SoftTFIDF kernels are CPU-heavy —
+    byte-sized partitioning caps this stage at ~10-way regardless of
+    cluster size. Explicit core-count partitioning is exempt from AQE
+    coalescing, so the UDF stage scales with the executor count.
     """
     n = cfg.shingle_size
     soft = make_soft_tfidf_udf(surface_pairs, theta=cfg.soft_theta)
+    surface_pairs = surface_pairs.repartition(
+        2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
+    )
     return surface_pairs.select(
         "left_norm",
         "right_norm",
@@ -104,6 +114,23 @@ def make_soft_tfidf_udf(
     def _tokens(s: str) -> list[str]:
         return [t for t in re.split(r"[\s\.]+", s) if t]
 
+    # per-worker memo for the token-level JW kernel: name tokens are
+    # Zipf-distributed, so the same (surname, surname) comparisons
+    # recur across thousands of surface pairs — the pure-Python JW at
+    # ~20µs/call was the pipeline's hottest loop. Bounded so a
+    # pathological vocabulary can't grow it without limit.
+    _jw_cache: dict = {}
+
+    def _jw(t: str, b: str) -> float:
+        key = (t, b)
+        v = _jw_cache.get(key)
+        if v is None:
+            if len(_jw_cache) > 2_000_000:
+                _jw_cache.clear()
+            v = jaro_winkler(t, b)
+            _jw_cache[key] = v
+        return v
+
     def _direction(ta: list[str], tb: list[str]) -> float:
         num = den = 0.0
         for t in ta:
@@ -114,7 +141,7 @@ def make_soft_tfidf_udf(
                 if len(t) == 1 or len(b) == 1:
                     sim = 1.0 if (t and b and t[0] == b[0]) else 0.0
                 else:
-                    sim = jaro_winkler(t, b)
+                    sim = _jw(t, b)
                 if sim > best:
                     best = sim
             if best >= theta:

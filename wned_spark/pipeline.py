@@ -114,18 +114,24 @@ def run_er_pipeline(
         return d
 
     # ---- mention extraction + doc-local coref + W8 expansion
-    # (N1/J6/W8) — ONE stage: the three maps have no other consumers
-    # in between, and every stage boundary costs a serialized AQE
-    # materialization barrier ----
-    def _mentions():
-        m = mention_ops.resolve_coref(mention_ops.extract_mentions(transcripts))
-        if cfg.use_abbrev_expansion:
-            # acronyms defined in-conversation resolve to their
-            # definition surface before anything downstream sees them
-            m = mention_ops.expand_abbreviations(m)
-        return m
-
-    mentions = stage("mentions", _mentions)
+    # (N1/J6/W8). The intermediate boundaries MUST be persisted:
+    # coref self-joins its input (2 references) and abbreviation
+    # expansion references the coref output 3× — composing them
+    # un-cached re-executes the extraction UDF up to 6× through the
+    # self-join branches (measured 134s vs 37s at 2.9M turns). persist
+    # (ckpt=False) breaks the recomputation without the serialized
+    # checkpoint barrier; only the final result is a hub checkpoint
+    # (it feeds surfaces / edges / ctx / eval / clusters). ----
+    m_ex = stage("mentions_extract", lambda: mention_ops.extract_mentions(transcripts),
+                 ckpt=False)
+    m_co = stage("mentions_coref", lambda: mention_ops.resolve_coref(m_ex),
+                 ckpt=False)
+    if cfg.use_abbrev_expansion:
+        # acronyms defined in-conversation resolve to their
+        # definition surface before anything downstream sees them
+        mentions = stage("mentions", lambda: mention_ops.expand_abbreviations(m_co))
+    else:
+        mentions = stage("mentions", lambda: m_co)
 
     # ---- distinct surfaces + blocked surface pairs (J2) ----
     surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
