@@ -82,6 +82,12 @@ def second_pass_overrides(
     amb = ambiguous_surfaces(cands)
 
     amb_mentions = m.join(amb, "sid", "left_semi").persist()
+    if amb_mentions.isEmpty():
+        # nothing ambiguous: skip the whole side-pipeline (otherwise
+        # the CSR broadcast of the full edge set is built for nothing)
+        return amb_mentions.sparkSession.createDataFrame(
+            [], "mention_id long, cluster_id long"
+        )
     # conversations that need a signature
     convs = amb_mentions.select("conv_id").distinct()
     # confident co-mentions: non-ambiguous surfaces in those conversations
