@@ -118,6 +118,98 @@ def test_minhash_band_keys_similar_strings_collide(spark):
     assert not set(r["ka"]) & set(r["kc"])
 
 
+def test_minhash_signature_permutations_are_distinct(spark):
+    """Regression: the F.transform defaulted-lambda arity trap
+    (``lambda s, i=i:`` is read as an (element, index) lambda) collapsed
+    every permutation onto one hash function in rounds 1-2. A
+    multi-shingle string must yield pairwise-distinct signature
+    elements under independent permutations."""
+    df = spark.createDataFrame([Row(s="acme corporation")])
+    sig = df.select(
+        minhash_signature(char_shingles(F.col("s"), 2), 16).alias("v")
+    ).first()["v"]
+    assert len(sig) == 16
+    assert len(set(sig)) == 16, f"permutations collapsed: {sig}"
+
+
+def test_minhash_band_keys_direct_matches_signature_path(spark):
+    from wned_spark.functions.shingles import minhash_band_keys_direct
+
+    df = spark.createDataFrame([Row(s="alice gardenbar"), Row(s="acme corp")])
+    sh = char_shingles(F.col("s"), 2)
+    got = df.select(
+        minhash_band_keys_direct(sh, 16, 4).alias("direct"),
+        minhash_band_keys(minhash_signature(sh, 16), 16, 4).alias("composed"),
+    ).collect()
+    for r in got:
+        assert r["direct"] == r["composed"]
+
+
+def test_minhash_scurve_band_independence(spark):
+    """S-curve sanity: pairs at marginal Jaccard must collide on
+    some-but-not-all bands across a small population (with a single
+    collapsed hash function a colliding pair collides on ALL bands at
+    once, and collision frequency equals J instead of 1-(1-J^r)^b).
+
+    Builds 200 token-set pairs at exact Jaccard 1/3 (8 shared + 8
+    distinct tokens per side) and checks (a) at least one pair collides
+    on a strict subset of the 4 bands, and (b) per-band agreement stays
+    near the independent-permutation rate J^4 ≈ 0.012 rather than the
+    collapsed-permutation rate J ≈ 0.33."""
+    rows = []
+    for k in range(200):
+        shared = [f"sh{k}w{j}" for j in range(8)]
+        a = " ".join(shared + [f"la{k}w{j}" for j in range(8)])
+        b = " ".join(shared + [f"rb{k}w{j}" for j in range(8)])
+        rows.append(Row(a=a, b=b))
+    df = spark.createDataFrame(rows)
+
+    def keys(col):
+        # token-level shingles: split on space so Jaccard is exactly 8/24
+        toks = F.filter(F.split(F.col(col), " "), lambda t: t != "")
+        return minhash_band_keys(minhash_signature(toks, 16), 16, 4)
+
+    got = df.select(keys("a").alias("ka"), keys("b").alias("kb")).collect()
+    partial = 0
+    per_band_hits = [0, 0, 0, 0]
+    for r in got:
+        hits = [int(x == y) for x, y in zip(r["ka"], r["kb"])]
+        if 0 < sum(hits) < 4:
+            partial += 1
+        for i, h in enumerate(hits):
+            per_band_hits[i] += h
+    # (a) some pair collides on a strict subset of bands
+    assert partial > 0, "every colliding pair collided on ALL bands — collapsed permutations"
+    # (b) bands are not perfectly correlated: under a collapsed
+    # permutation per_band_hits would be identical across bands AND equal
+    # to the number of pairs whose single min-hash agrees. With J=1/3
+    # (8 shared / 24 union) the per-band agreement P = (1/3)^4 ≈ 0.012;
+    # allow generous slack but reject the collapsed-rate J·n ≈ 67.
+    for h in per_band_hits:
+        assert h < 30, f"band agreement {per_band_hits} ≈ J·n — collapsed permutations"
+
+
+def test_no_defaulted_two_param_lambdas_in_source():
+    """Guard: the PySpark higher-order-function arity trap (a defaulted
+    second lambda parameter becomes the array-index column) has bitten
+    twice (RP-LSH r1, MinHash r1-2). No source file may contain the
+    pattern; use a closure factory instead."""
+    import pathlib
+    import re
+
+    pat = re.compile(r"lambda\s+[A-Za-z_]\w*\s*,\s*[A-Za-z_]\w*\s*=")
+    root = pathlib.Path(__file__).resolve().parents[1] / "wned_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        for ln, line in enumerate(p.read_text().splitlines(), 1):
+            stripped = line.strip()
+            if stripped.startswith("#") or "``" in line:
+                continue  # comments / docstring mentions of the trap itself
+            if pat.search(line):
+                offenders.append(f"{p}:{ln}: {stripped}")
+    assert not offenders, "defaulted-lambda arity trap:\n" + "\n".join(offenders)
+
+
 def test_minhash_deterministic_across_runs(spark):
     df = spark.createDataFrame([Row(s="hello world")])
     expr = minhash_signature(char_shingles(F.col("s"), 2), 8)

@@ -158,13 +158,16 @@ def a4_tfidf(spark, sf_dir):
              (a.c_nationkey = b.c_nationkey) AS is_match
       FROM c a JOIN c b ON a.c_custkey < b.c_custkey
     ), m AS (
-      SELECT SUM(CASE WHEN predicted AND is_match THEN 1 ELSE 0 END) AS tp,
-             SUM(CASE WHEN predicted AND NOT is_match THEN 1 ELSE 0 END) AS fp,
-             SUM(CASE WHEN NOT predicted AND is_match THEN 1 ELSE 0 END) AS fn
+      -- CAST: DuckDB SUM(int) yields DECIMAL(38,0) (decimal128) while
+      -- Spark yields LONG; the driver's value hash distinguishes the
+      -- types even when every value is identical
+      SELECT CAST(SUM(CASE WHEN predicted AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN predicted AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT predicted AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS fn
       FROM pairs)
     SELECT tp, fp, fn,
-           (tp * 1000000) // (tp + fp) AS precision_ppm,
-           (tp * 1000000) // (tp + fn) AS recall_ppm
+           CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+           CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm
     FROM m
     """,
 )

@@ -30,19 +30,29 @@ def char_shingles(col: Column, n: int = 2, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
+def _min_perm_hash(shingles: Column, perm: int) -> Column:
+    """min over shingles of xxhash64(shingle, seed_perm) — one MinHash
+    permutation. MUST be built via this closure factory: a defaulted
+    two-parameter lambda (``lambda s, i=i:``) is interpreted by
+    ``F.transform`` as an (element, array_index) lambda, silently
+    rebinding ``i`` to the index column and collapsing every
+    permutation onto one hash function (the arity trap that bit RP-LSH
+    in round 1 and MinHash in rounds 1-2; see tests/test_functions.py
+    lambda-arity guard)."""
+    seed = 1000003 + perm
+
+    def _hash_one(s: Column) -> Column:  # single-arg: element only
+        return F.xxhash64(s, F.lit(seed))
+
+    return F.coalesce(F.array_min(F.transform(shingles, _hash_one)), F.lit(-seed))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """Array of ``num_hashes`` min-hash values: element h is
     min(xxhash64(shingle, seed_h)) over the shingle set. Empty shingle
     arrays hash to a sentinel derived from the seed so they still block
     deterministically (only with other empties)."""
-    sigs = [
-        F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(1000003 + i)))),
-            F.lit(-(1000003 + i)),
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    return F.array(*[_min_perm_hash(shingles, i) for i in range(num_hashes)])
 
 
 def minhash_band_keys_direct(
@@ -60,17 +70,9 @@ def minhash_band_keys_direct(
     n_bands = num_hashes // band_size
     keys = []
     for b in range(n_bands):
-        parts = [F.lit(b)]
-        for j in range(band_size):
-            i = b * band_size + j
-            parts.append(
-                F.coalesce(
-                    F.array_min(
-                        F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(1000003 + i)))
-                    ),
-                    F.lit(-(1000003 + i)),
-                )
-            )
+        parts = [F.lit(b)] + [
+            _min_perm_hash(shingles, b * band_size + j) for j in range(band_size)
+        ]
         keys.append(F.xxhash64(*parts))
     return F.array(*keys)
 
