@@ -62,7 +62,10 @@ def test_full_config_holds_gate_under_ambiguity(spark):
 def test_expand_abbreviations_picks_longest_definition(spark):
     """W8 pinned semantics: an all-caps acronym re-points at the
     longest same-conversation surface whose initials spell it; other
-    conversations are untouched."""
+    conversations are untouched; a case-variant whose NORMALIZED form
+    collides with the acronym ("Ag" the element vs "AG" the acronym —
+    both normalize to "ag") is NOT re-pointed because the override is
+    gated on the raw-surface acronym predicate."""
     mentions = spark.createDataFrame(
         [
             # conv A: definition present (two candidates; longest wins)
@@ -71,8 +74,8 @@ def test_expand_abbreviations_picks_longest_definition(spark):
             ("a", 2, "Anders Garwimsor", "anders garwimsor", "anders garwimsor"),
             # conv B: no definition -> untouched
             ("b", 0, "AG", "ag", "ag"),
-            # not an acronym (lowercase raw form) -> untouched
-            ("a", 3, "Ag", "ag2", "ag2"),
+            # NOT an acronym by raw surface, same surface_norm as "AG"
+            ("a", 3, "Ag", "ag", "ag"),
         ],
         "conv_id string, turn_idx int, surface string, surface_norm string, canon_norm string",
     )
@@ -82,5 +85,49 @@ def test_expand_abbreviations_picks_longest_definition(spark):
     }
     assert out[("a", 0)] == "anders garwimsor"  # longest initials match
     assert out[("b", 0)] == "ag"
-    assert out[("a", 3)] == "ag2"
+    assert out[("a", 3)] == "ag"  # raw "Ag" is no acronym — untouched
     assert out[("a", 1)] == "alice gardenbar"
+
+
+def test_expand_abbreviations_fuzzy_fallback(spark):
+    """R10 abbrevSim fallback: an acronym with NO exact initials match
+    still expands when the sorted-char edit similarity clears the 0.3
+    threshold ("IBM" vs "international business machines corp" →
+    initials "ibmc" ≠ "ibm" but abbrevSim = 0.75); an unrelated
+    acronym stays put."""
+    mentions = spark.createDataFrame(
+        [
+            ("a", 0, "IBM", "ibm", "ibm"),
+            ("a", 1, "International Business Machines Corp",
+             "international business machines corp",
+             "international business machines corp"),
+            # no plausible definition anywhere for this one
+            ("a", 2, "ZQX", "zqx", "zqx"),
+        ],
+        "conv_id string, turn_idx int, surface string, surface_norm string, canon_norm string",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r["canon_norm"]
+        for r in expand_abbreviations(mentions).collect()
+    }
+    assert out[("a", 0)] == "international business machines corp"
+    assert out[("a", 2)] == "zqx"
+
+
+def test_abbrev_sim_pinned_values():
+    """Pinned to MentionExpansion.java:1162-1183 semantics (sorted-char
+    Levenshtein with length penalty, best of the two extraction
+    modes)."""
+    from wned_spark.functions.similarity import abbrev_sim, extract_abbrev
+
+    assert extract_abbrev("Intl. Bus. Machines", False) == "IBM"
+    assert extract_abbrev("intl bus machines", True) == "ibm"
+    assert extract_abbrev("intl bus machines", False) == ""
+    # exact sorted-char match → 1.0
+    assert abs(abbrev_sim("IBM", "Intl. Bus. Machines") - 1.0) < 1e-12
+    # "ibmc" vs "ibm": sorted "bcim"/"bim", d=1, maxLen=4 →
+    # (1 - 1/4) * 4 / (3 + 1) = 0.75
+    assert abs(abbrev_sim("IBM", "international business machines corp") - 0.75) < 1e-12
+    # empty extraction (no caps, use_cap covers it) never scores via
+    # the Java empty-string length quirk
+    assert abbrev_sim("IBM", "") == 0.0

@@ -92,6 +92,89 @@ def test_bigram_dice(spark):
     assert abs(v - 2 * 1 / 8) < 1e-12
 
 
+def test_bigram_dice_multiset_vs_distinct(spark):
+    """A7/R4/R15 parity: multiset min-count Dice
+    (AliasLuceneIndex.java:327-329) equals distinct-set Dice on strings
+    without repeated bigrams, and diverges exactly as the reference
+    does on reduplicated names — measured, not just documented."""
+    from wned_spark.functions.similarity import bigram_dice_multiset
+
+    df = spark.createDataFrame(
+        [("aaa bb aaa", "aaab"), ("night", "nacht"), ("", ""), ("banana", "bananana")],
+        "a string, b string",
+    )
+
+    def both(row_a, row_b):
+        return df.select(
+            bigram_dice_multiset(
+                char_shingles(F.col("a"), 2, distinct=False),
+                char_shingles(F.col("b"), 2, distinct=False),
+            ).alias("multi"),
+            bigram_dice(
+                char_shingles(F.col("a"), 2), char_shingles(F.col("b"), 2)
+            ).alias("dist"),
+        ).collect()
+
+    rows = both("a", "b")
+    # "aaa bb aaa" (bigrams: aa×4, 'a '×1, ' b', bb, 'b ', ' a') vs
+    # "aaab" (aa×2, ab): min-count(aa)=2, denom 9+3 → 1/3; distinct → 1/4
+    assert abs(rows[0]["multi"] - 1 / 3) < 1e-12
+    assert abs(rows[0]["dist"] - 0.25) < 1e-12
+    # no repeated bigrams → identical
+    assert abs(rows[1]["multi"] - rows[1]["dist"]) < 1e-12
+    assert rows[2]["multi"] == rows[2]["dist"] == 1.0
+    # "banana" vs "bananana": identical DISTINCT bigram sets, so
+    # distinct-set Dice claims a perfect 1.0 match; multiset min-counts
+    # (2·(1+2+2)/(5+7) = 5/6) correctly see the length difference —
+    # the reduplicated-name case where the reference's form matters
+    assert rows[3]["dist"] == 1.0
+    assert abs(rows[3]["multi"] - 5 / 6) < 1e-12
+
+
+def test_rank_schemes_pinned(spark):
+    """R1 MULTIPLY/NOR/VOTE pinned to Feature.java:59-163 on a
+    3-candidate group with hand-computed outcomes."""
+    from wned_spark.config import ERConfig
+    from wned_spark.operators.scoring import combine_scores, vote_copeland_score
+
+    # (group, prior, local, semSim)
+    df = spark.createDataFrame(
+        [
+            ("m1", 0.6, 0.2, 0.9),   # wins sem, loses prior/local to c2
+            ("m1", 0.7, 0.8, 0.1),   # wins prior+local → VOTE winner
+            ("m1", 0.1, 0.1, 0.5),   # loses everything
+        ],
+        "mention string, shared_prior double, ctx_cosine double, sig_cosine double",
+    )
+    cfg = ERConfig()
+    alpha = cfg.prior_weight
+
+    mult = combine_scores(df, cfg, scheme="MULTIPLY").collect()
+    for r in mult:
+        exp = alpha * r["shared_prior"] * r["sig_cosine"] + (1 - alpha) * r[
+            "ctx_cosine"
+        ] * r["sig_cosine"]
+        assert abs(r["score"] - exp) < 1e-12
+
+    nor = combine_scores(df, cfg, scheme="NOR").collect()
+    for r in nor:
+        exp = 1 - (1 - r["shared_prior"]) * (1 - r["ctx_cosine"]) * (1 - r["sig_cosine"])
+        assert abs(r["score"] - exp) < 1e-12
+
+    vote = {
+        round(r["shared_prior"], 3): r["score"]
+        for r in vote_copeland_score(df, ["mention"]).collect()
+    }
+    # c2 (0.7) beats c1 on prior+local and c3 on all → 2 wins;
+    # c1 (0.6) beats c3 on prior+sem → 1; c3 → 0
+    assert vote == {0.7: 2.0, 0.6: 1.0, 0.1: 0.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        combine_scores(df, cfg, scheme="VOTE")
+
+
 # ---------------- R7 (pinned constants eps=1e-6, gamma=10) ----------------
 def test_zero_kl_divergence(spark):
     udf = make_zero_kl_udf(eps=1e-6, gamma=10.0)

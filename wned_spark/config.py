@@ -87,6 +87,13 @@ class ERConfig:
     # around the mention span, MentionContext.java:44-60)
 
     # --- scoring / decision (R1) ---
+    # rank-combination scheme (Feature.java:40-164): LINEAR (shipped
+    # default — WNEDConfig.java:175 parser quirk), MULTIPLY
+    # (compareToJoint2), NOR (noisy-or). VOTE is a pairwise-majority
+    # comparator, exposed as scoring.vote_copeland_score. Non-LINEAR
+    # scores live on different scales than match_threshold's LINEAR
+    # calibration.
+    rank_scheme: str = "LINEAR"
     prior_weight: float = 0.08  # el.config:21
     local_weight: float = 0.10  # el.config:22
     # remaining mass goes to the semantic + name-string block
@@ -120,6 +127,8 @@ class ERConfig:
     # --- ambiguity handling (W8 / G6 second pass) ---
     # doc-local acronym→definition expansion (MentionExpansion.java)
     use_abbrev_expansion: bool = True
+    # fuzzy abbrevSim fallback gate (MentionExpansion.java:48)
+    abbrev_threshold: float = 0.3
     # conversation-signature argmax for mentions of surfaces with >1
     # candidate entity (ELUtils.java:59-94 document signatures)
     use_second_pass: bool = True

@@ -102,12 +102,38 @@ def bigram_dice(shingles_a: Column, shingles_b: Column) -> Column:
     2|A∩B| / (|A|+|B|). JVM-side via array_intersect.
 
     The reference's Dice (AliasLuceneIndex.java:302-353) uses multiset
-    min-counts; on short name strings distinct-set Dice is equivalent in
-    ranking and keeps the kernel codegen'd.
+    min-counts — see :func:`bigram_dice_multiset` for the faithful
+    kernel; on strings without repeated bigrams the two are identical
+    (tests/test_functions.py pins both the equality and the divergence
+    on repeated-bigram strings).
     """
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
     denom = F.size(shingles_a) + F.size(shingles_b)
     return F.when(denom == 0, F.lit(1.0)).otherwise(2.0 * inter / denom)
+
+
+def bigram_dice_multiset(shingles_a: Column, shingles_b: Column) -> Column:
+    """Multiset Dice over NON-distinct shingle arrays — the reference's
+    exact form (``AliasLuceneIndex.java:327-329``):
+
+        2 * Σ_t min(count_a(t), count_b(t)) / (|A| + |B|)
+
+    with |A|,|B| counted WITH multiplicity. Pass
+    ``char_shingles(col, n, distinct=False)`` for both sides. Pure
+    Catalyst: aggregate over the distinct shared grams of per-gram
+    min-counts (name strings are short, so the nested filter scan is a
+    handful of comparisons per row, all codegen'd)."""
+    common = F.aggregate(
+        F.array_distinct(F.array_intersect(shingles_a, shingles_b)),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.least(
+            F.size(F.filter(shingles_a, lambda x: x == t)),
+            F.size(F.filter(shingles_b, lambda x: x == t)),
+        ),
+    )
+    denom = F.size(shingles_a) + F.size(shingles_b)
+    return F.when(denom == 0, F.lit(1.0)).otherwise(2.0 * common / denom)
 
 
 # ---------------------------------------------------------------- R6
@@ -191,6 +217,76 @@ def lcs_longest_substring_udf(a: pd.Series, b: pd.Series) -> pd.Series:
                         best = cur[cj]
             prev = cur
         out[i] = best
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------- R10
+def extract_abbrev(definition: str, use_cap: bool) -> str:
+    """Abbreviation of a name: concatenated uppercase chars per token;
+    a token with no uppercase contributes its first char when
+    ``use_cap`` (``MentionExpansion.java:1126-1150``)."""
+    out = []
+    for token in definition.split(" "):
+        if not token:
+            continue
+        caps = [c for c in token if c.isupper()]
+        if caps:
+            out.extend(caps)
+        elif use_cap:
+            out.append(token[0])
+    return "".join(out)
+
+
+def _edit_distance(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i] + [0] * len(t)
+        for j, ct in enumerate(t, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+        prev = cur
+    return prev[-1]
+
+
+def _abbrev_sim_impl(orig_abbr: str, new_abbr: str) -> float:
+    """``MentionExpansion.java:1162-1173``: sort the chars of both
+    lowercased abbreviations, then
+    ``sim = (1 - d/maxLen) * maxLen / (len(orig) + |len diff|)``
+    — a length-penalized sorted-char edit similarity. Deviation from
+    the Java: an EMPTY side scores 0.0 (Java's ``Levenshtein.compare``
+    returns the other string's LENGTH for an empty input —
+    ``StringSim.java:33-45`` — which makes an empty extraction
+    outscore the 0.3 threshold; on normalized lowercase definitions
+    every no-cap extraction is empty, so the quirk would fire
+    constantly here where it almost never could on raw wiki text)."""
+    a1 = "".join(sorted(orig_abbr.lower()))
+    a2 = "".join(sorted(new_abbr.lower()))
+    if not a1 or not a2:
+        return 0.0
+    mx = max(len(a1), len(a2))
+    dif = abs(len(a1) - len(a2))
+    sim = 1.0 - _edit_distance(a1, a2) / mx
+    return sim * mx / (len(a1) + dif)
+
+
+def abbrev_sim(name: str, definition: str) -> float:
+    """R10 fuzzy abbreviation↔definition similarity
+    (``MentionExpansion.java:1175-1183``): the better of the two
+    extraction modes. ``abbrev_sim("IBM", "Intl. Bus. Machines") ≈ 1``
+    even though the exact initials are "ibm" vs "ibm" only under
+    cap-extraction."""
+    return max(
+        _abbrev_sim_impl(name, extract_abbrev(definition, False)),
+        _abbrev_sim_impl(name, extract_abbrev(definition, True)),
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def abbrev_sim_udf(name: pd.Series, definition: pd.Series) -> pd.Series:
+    """Arrow-batched abbrev_sim over short acronym/definition pairs."""
+    out = np.empty(len(name), dtype=np.float64)
+    for i in range(len(name)):
+        x, y = name.iloc[i], definition.iloc[i]
+        out[i] = abbrev_sim(x, y) if isinstance(x, str) and isinstance(y, str) else 0.0
     return pd.Series(out)
 
 

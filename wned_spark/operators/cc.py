@@ -127,12 +127,18 @@ def connected_components_auto(
     algorithm below. The same decision shape as AQE's broadcast-vs-
     shuffle join, applied to the iterative operator."""
     e = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct().persist()
-    n = e.count()
-    if n == 0:
-        return e.sparkSession.createDataFrame([], "node long, component long")
-    if n <= local_threshold:
-        return _union_find_local(e)
-    return connected_components(e, max_iter)
+    try:
+        n = e.count()
+        if n == 0:
+            return e.sparkSession.createDataFrame([], "node long, component long")
+        if n <= local_threshold:
+            # _union_find_local Arrow-collects eagerly — cache done
+            return _union_find_local(e)
+        # connected_components eagerly localCheckpoints its input up
+        # front, so the persisted edge set is consumed before return
+        return connected_components(e, max_iter)
+    finally:
+        e.unpersist()
 
 
 def connected_components(

@@ -96,40 +96,48 @@ def minhash_duplicate_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
     sh = sh.persist()
-    # band keys only — the (possibly large) shingle arrays do NOT ride
-    # the self-join shuffle; they join back per DISTINCT candidate pair
-    sig = sh.select(
-        "doc",
-        F.explode(
-            minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
-        ).alias("band"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand_ids = (
-        a.join(b, "band")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("left_doc"),
-            F.col("b.doc").alias("right_doc"),
+    try:
+        # band keys only — the (possibly large) shingle arrays do NOT ride
+        # the self-join shuffle; they join back per DISTINCT candidate pair
+        sig = sh.select(
+            "doc",
+            F.explode(
+                minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
+            ).alias("band"),
         )
-        .distinct()
-    )
-    cand = (
-        cand_ids.join(
-            sh.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
-            "left_doc",
-        ).join(
-            sh.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
-            "right_doc",
+        a, b = sig.alias("a"), sig.alias("b")
+        cand_ids = (
+            a.join(b, "band")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("left_doc"),
+                F.col("b.doc").alias("right_doc"),
+            )
+            .distinct()
         )
-    )
-    inter = F.size(F.array_intersect("sh_l", "sh_r"))
-    union = F.size("sh_l") + F.size("sh_r") - inter
-    return (
-        cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("left_doc", "right_doc", "jaccard")
-    )
+        cand = (
+            cand_ids.join(
+                sh.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
+                "left_doc",
+            ).join(
+                sh.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
+                "right_doc",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_l", "sh_r"))
+        union = F.size("sh_l") + F.size("sh_r") - inter
+        out = (
+            cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("left_doc", "right_doc", "jaccard")
+        )
+        # materialize the verified pair list (O(duplicates), no arrays)
+        # so the cached shingle table never outlives the call
+        out = out.localCheckpoint(eager=False)
+        out.count()
+        return out
+    finally:
+        sh.unpersist()
 
 
 def simhash(col, num_bits: int = 64):
@@ -258,36 +266,44 @@ def embedding_near_duplicates(
     from wned_spark.operators.ann import _rp_bucket_t
 
     vecs = embeddings.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v")).persist()
-    buckets = [_rp_bucket_t(F.col("v"), planes, t) for t in range(n_tables)]
-    # only (doc, bucket) rides the self-join shuffle; vectors join back
-    # per DISTINCT candidate pair (same shape as MinHash-LSH above)
-    bucketed = vecs.select("doc", F.explode(F.array(*buckets)).alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand_ids = (
-        a.join(b, "bucket")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("left_doc"), F.col("b.doc").alias("right_doc"))
-        .distinct()
-    )
-    cand = cand_ids.join(
-        vecs.select(F.col("doc").alias("left_doc"), F.col("v").alias("v_l")), "left_doc"
-    ).join(
-        vecs.select(F.col("doc").alias("right_doc"), F.col("v").alias("v_r")), "right_doc"
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("v_l"), F.col("v_r"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+    try:
+        buckets = [_rp_bucket_t(F.col("v"), planes, t) for t in range(n_tables)]
+        # only (doc, bucket) rides the self-join shuffle; vectors join back
+        # per DISTINCT candidate pair (same shape as MinHash-LSH above)
+        bucketed = vecs.select("doc", F.explode(F.array(*buckets)).alias("bucket"))
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cand_ids = (
+            a.join(b, "bucket")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("left_doc"), F.col("b.doc").alias("right_doc"))
+            .distinct()
+        )
+        cand = cand_ids.join(
+            vecs.select(F.col("doc").alias("left_doc"), F.col("v").alias("v_l")), "left_doc"
+        ).join(
+            vecs.select(F.col("doc").alias("right_doc"), F.col("v").alias("v_r")), "right_doc"
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("v_l"), F.col("v_r"), lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    )
-    return (
-        cand.withColumn("cosine", dot / (norm("v_l") * norm("v_r")))
-        .filter(F.col("cosine") >= cosine_threshold)
-        .select("left_doc", "right_doc", "cosine")
-    )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        out = (
+            cand.withColumn("cosine", dot / (norm("v_l") * norm("v_r")))
+            .filter(F.col("cosine") >= cosine_threshold)
+            .select("left_doc", "right_doc", "cosine")
+        )
+        # materialize the verified pair list (O(duplicates), no vectors)
+        # so the cached vector table never outlives the call
+        out = out.localCheckpoint(eager=False)
+        out.count()
+        return out
+    finally:
+        vecs.unpersist()

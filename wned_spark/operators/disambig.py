@@ -82,12 +82,32 @@ def second_pass_overrides(
     amb = ambiguous_surfaces(cands)
 
     amb_mentions = m.join(amb, "sid", "left_semi").persist()
-    if amb_mentions.isEmpty():
-        # nothing ambiguous: skip the whole side-pipeline (otherwise
-        # the CSR broadcast of the full edge set is built for nothing)
-        return amb_mentions.sparkSession.createDataFrame(
-            [], "mention_id long, cluster_id long"
+    reps = None
+    try:
+        if amb_mentions.isEmpty():
+            # nothing ambiguous: skip the whole side-pipeline (otherwise
+            # the CSR broadcast of the full edge set is built for nothing)
+            return amb_mentions.sparkSession.createDataFrame(
+                [], "mention_id long, cluster_id long"
+            )
+        reps = entity_rep_surfaces(cands, amb).persist()
+        out = _second_pass_body(
+            m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg
         )
+        # materialize the (tiny — one row per re-pointed mention)
+        # override table before the finally releases the caches it
+        # reads, so they never outlive the call and repeated pipeline
+        # runs in one session don't accumulate executor cache
+        out = out.localCheckpoint(eager=False)
+        out.count()
+        return out
+    finally:
+        amb_mentions.unpersist()
+        if reps is not None:
+            reps.unpersist()
+
+
+def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg):
     # conversations that need a signature
     convs = amb_mentions.select("conv_id").distinct()
     # confident co-mentions: non-ambiguous surfaces in those conversations
@@ -100,8 +120,6 @@ def second_pass_overrides(
     preference = confident.select(
         F.xxhash64("conv_id").alias("seed"), F.col("sid").alias("node"), F.lit(1.0).alias("w")
     )
-
-    reps = entity_rep_surfaces(cands, amb).persist()
 
     # one batched PPR for the conversation preference vectors, one for
     # the representative indicator seeds (both tiny seed sets); same

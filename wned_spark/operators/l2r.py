@@ -134,7 +134,13 @@ def score_with_model(features: DataFrame, model, cfg: ERConfig = ERConfig()) -> 
     cols = model.stages[0].getInputCols()
     filled = features
     for c in cols:
-        filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+        if c in filled.columns:
+            filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+        else:
+            # a model input the pipeline ran without (use_signatures /
+            # use_ctx_feature off): the training-time convention is
+            # coalesce-to-0, so an absent feature scores as 0
+            filled = filled.withColumn(c, F.lit(0.0))
     out = model.transform(filled)
     return (
         out.withColumn("l2r_margin", vector_to_array("rawPrediction")[1])

@@ -73,25 +73,40 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     ).withColumn("surface_norm", norm_surface(F.col("surface")))
 
 
-def expand_abbreviations(mentions: DataFrame) -> DataFrame:
+_ACRONYM_RE = r"^[A-Z]{2,5}$"
+
+
+def expand_abbreviations(
+    mentions: DataFrame, abbrev_threshold: float = 0.3
+) -> DataFrame:
     """W8/R10: doc-local abbreviation definition choice
-    (``cs/MentionExpansion.java:126-158,1128-1219``): an all-caps
-    acronym mention is re-pointed at a same-conversation multi-token
-    surface whose token initials spell the acronym (longest such
-    surface wins, deterministic tiebreak). Runs AFTER ``resolve_coref``
-    and overrides ``canon_norm`` only for matched acronyms.
+    (``cs/MentionExpansion.java:126-158,961-1066,1128-1219``): an
+    all-caps acronym mention is re-pointed at a same-conversation
+    multi-token surface whose token initials spell the acronym (longest
+    such surface wins, deterministic tiebreak). Acronyms with NO exact
+    initials match fall back to the reference's fuzzy ``abbrevSim``
+    (sorted-char edit distance with length penalty,
+    ``MentionExpansion.java:1162-1183``, threshold 0.3 from
+    ``MentionExpansion.java:48``) — this is what links "IBM" to
+    "Intl. Bus. Machines" in a noisy corpus. Runs AFTER
+    ``resolve_coref`` and overrides ``canon_norm`` only for mentions
+    whose RAW surface is an acronym (a case-variant like the element
+    "Ag" normalizes identically to the acronym "AG" but must not be
+    re-pointed).
 
     Fully relational: distinct (conv, acronym) ⋈ distinct (conv,
-    expansion-candidate) on the initials string — both sides are
-    per-conversation surface dictionaries (5-10 rows), never mention
-    occurrences."""
+    expansion-candidate) — both sides are per-conversation surface
+    dictionaries (5-10 rows), never mention occurrences; the fuzzy
+    fallback only runs on the exact-miss remainder."""
     from pyspark.sql import Window
+
+    from wned_spark.functions.similarity import abbrev_sim_udf
 
     key = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
     # acronym side: the RAW surface is one all-caps token of 2-5 chars
     acr = (
-        mentions.filter(F.col("surface").rlike(r"^[A-Z]{2,5}$"))
-        .select("conv_id", "surface_norm", F.lower("surface").alias("acr"))
+        mentions.filter(F.col("surface").rlike(_ACRONYM_RE))
+        .select("conv_id", "surface", "surface_norm", F.lower("surface").alias("acr"))
         .distinct()
     )
     # definition side: multi-token surfaces with their initials
@@ -117,16 +132,28 @@ def expand_abbreviations(mentions: DataFrame) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("conv_id", "surface_norm", "definition")
     )
-    out = mentions.join(chosen, ["conv_id", "surface_norm"], "left")
-    if "canon_norm" in mentions.columns:
-        out = out.withColumn(
-            "canon_norm", F.coalesce(F.col("definition"), F.col("canon_norm"))
-        )
-    else:
-        out = out.withColumn(
-            "canon_norm", F.coalesce(F.col("definition"), F.col("surface_norm"))
-        )
-    return out.drop("definition")
+    # fuzzy fallback (R10 abbrevSim) for acronyms the exact join missed
+    missed = acr.join(chosen.select("conv_id", "surface_norm"), ["conv_id", "surface_norm"], "left_anti")
+    wf = Window.partitionBy("conv_id", "surface_norm").orderBy(
+        F.desc("sim"), F.desc(F.length("definition")), F.asc("definition")
+    )
+    fuzzy = (
+        missed.join(defs.drop("acr"), "conv_id")
+        .withColumn("sim", abbrev_sim_udf(F.col("surface"), F.col("definition")))
+        .filter(F.col("sim") > abbrev_threshold)
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "surface_norm", "definition")
+    )
+    out = mentions.join(chosen.unionByName(fuzzy), ["conv_id", "surface_norm"], "left")
+    base = F.col("canon_norm") if "canon_norm" in mentions.columns else F.col("surface_norm")
+    return out.withColumn(
+        "canon_norm",
+        F.when(
+            F.col("surface").rlike(_ACRONYM_RE) & F.col("definition").isNotNull(),
+            F.col("definition"),
+        ).otherwise(base),
+    ).drop("definition")
 
 
 def resolve_coref(mentions: DataFrame) -> DataFrame:

@@ -484,8 +484,14 @@ def personalized_pagerank_pref_broadcast(
         csr = bc.value
         n_, _indptr, _dst, _p, _has_out, rev_ = csr
         seed = int(pdf["seed"].iloc[0])
-        nodes = pdf["node"].to_numpy(dtype=np.int64)
-        w = pdf["w"].to_numpy(dtype=np.float64)
+        # aggregate duplicate (seed, node) input rows FIRST: a raw
+        # duplicate absent node would otherwise get two distinct
+        # virtual indices and emit two output rows with split rank,
+        # diverging from the join-based variant's groupBy semantics
+        nodes_raw = pdf["node"].to_numpy(dtype=np.int64)
+        w_raw = pdf["w"].to_numpy(dtype=np.float64)
+        nodes, inv0 = np.unique(nodes_raw, return_inverse=True)
+        w = np.bincount(inv0, weights=w_raw)
         w = w / w.sum()
         pos = np.searchsorted(rev_, nodes)
         pos_safe = np.minimum(pos, n_ - 1)

@@ -26,7 +26,12 @@ from pyspark.sql import types as T
 
 from wned_spark.config import ERConfig
 from wned_spark.functions.shingles import char_shingles
-from wned_spark.functions.similarity import bigram_dice, jaro_winkler, jaro_winkler_udf, levenshtein_norm
+from wned_spark.functions.similarity import (
+    bigram_dice_multiset,
+    jaro_winkler,
+    jaro_winkler_udf,
+    levenshtein_norm,
+)
 
 
 def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
@@ -60,9 +65,13 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
         # max-direction, and a non-matching surname zeroes the score.
         soft(F.col("left_norm"), F.col("right_norm")).alias("name_soft"),
         levenshtein_norm(F.col("left_norm"), F.col("right_norm")).alias("name_lev"),
-        bigram_dice(
-            char_shingles(F.col("left_norm"), n),
-            char_shingles(F.col("right_norm"), n),
+        # the reference's exact multiset min-count Dice
+        # (AliasLuceneIndex.java:327-329) over non-distinct bigrams;
+        # identical to distinct-set Dice except on repeated-bigram
+        # strings (reduplicated names), where min-counts are faithful
+        bigram_dice_multiset(
+            char_shingles(F.col("left_norm"), n, distinct=False),
+            char_shingles(F.col("right_norm"), n, distinct=False),
         ).alias("name_dice"),
     )
 
@@ -210,15 +219,96 @@ def sum_normalize_per_group(
     return out
 
 
+def _feat(features: DataFrame, name: str):
+    """Feature column or 0.0 when the pipeline ran with it disabled."""
+    return F.coalesce(F.col(name), F.lit(0.0)) if name in features.columns else F.lit(0.0)
+
+
 def combine_scores(
-    features: DataFrame, cfg: ERConfig = ERConfig()
+    features: DataFrame, cfg: ERConfig = ERConfig(), scheme: str | None = None
 ) -> DataFrame:
-    """LINEAR rank combination (R1), weights renormalized over the
-    feature columns actually present."""
-    present = {k: w for k, w in cfg.feature_weights.items() if k in features.columns}
-    total = sum(present.values())
-    expr = None
-    for k, w in present.items():
-        term = F.coalesce(F.col(k), F.lit(0.0)) * (w / total)
-        expr = term if expr is None else expr + term
-    return features.withColumn("score", expr)
+    """R1 rank combination (``utils/Feature.java:40-164``), selectable
+    via ``cfg.rank_scheme``:
+
+    - LINEAR (default — what the reference's shipped config actually
+      runs, see the WNEDConfig.java:175 parser quirk in config.py):
+      weighted sum over the full pair-feature family, weights
+      renormalized over the columns present.
+    - MULTIPLY (``compareToJoint2``, Feature.java:150-163):
+      ``alpha*prior*semSim + (1-alpha)*local*semSim`` with
+      alpha = priorWeight; prior→shared_prior, local→ctx_cosine,
+      semSim→sig_cosine in the pair recast.
+    - NOR (noisy-or, ``compareToNOR``, Feature.java:128-138):
+      ``1 - (1-prior)(1-local)(1-semSim)``.
+    - VOTE is a pairwise-majority COMPARATOR, not a row-local score —
+      use :func:`vote_copeland_score` with the group columns.
+
+    MULTIPLY/NOR scores live on different scales than LINEAR; the
+    ``match_threshold`` default is calibrated for LINEAR (ablation in
+    tests/test_operators.py pins the per-scheme orderings instead).
+    """
+    scheme = (scheme or cfg.rank_scheme).upper()
+    if scheme == "LINEAR":
+        present = {k: w for k, w in cfg.feature_weights.items() if k in features.columns}
+        total = sum(present.values())
+        expr = None
+        for k, w in present.items():
+            term = F.coalesce(F.col(k), F.lit(0.0)) * (w / total)
+            expr = term if expr is None else expr + term
+        return features.withColumn("score", expr)
+    p = _feat(features, "shared_prior")
+    l = _feat(features, "ctx_cosine")  # noqa: E741
+    s = _feat(features, "sig_cosine")
+    if scheme == "MULTIPLY":
+        alpha = cfg.prior_weight
+        return features.withColumn("score", alpha * p * s + (1.0 - alpha) * l * s)
+    if scheme == "NOR":
+        return features.withColumn(
+            "score", 1.0 - (1.0 - p) * (1.0 - l) * (1.0 - s)
+        )
+    raise ValueError(
+        f"unknown rank scheme {scheme!r}; use LINEAR/MULTIPLY/NOR or vote_copeland_score for VOTE"
+    )
+
+
+def vote_copeland_score(
+    df: DataFrame,
+    group_cols: list[str],
+    feature_cols: list[str] = ("shared_prior", "ctx_cosine", "sig_cosine"),
+) -> DataFrame:
+    """R1 VOTE (``compareToVote``, Feature.java:59-77) as a per-group
+    Copeland score: within each group, a row earns one point per
+    opponent it beats on a strict majority of the features (the Java
+    pairwise comparator made transitive by counting wins — the standard
+    relational recast of a majority-vote sort). Groups are candidate
+    lists (≤ top_k ≈ 20 rows), so the within-group self-join is ≤400
+    rows per group and shuffles only on the group key."""
+    feats = [c for c in feature_cols if c in df.columns]
+    majority = len(feats) // 2 + 1
+    # score DISTINCT feature tuples, then join back: identical-feature
+    # rows tie in the Java comparator (no vote) and must share one
+    # score, not double-count each other's opponents
+    d = df.select(*group_cols, *feats).distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    wins_expr = None
+    neq = None
+    for c in feats:
+        w = F.when(F.col(f"a.{c}") > F.col(f"b.{c}"), 1).otherwise(0)
+        wins_expr = w if wins_expr is None else wins_expr + w
+        ne = F.col(f"a.{c}") != F.col(f"b.{c}")
+        neq = ne if neq is None else neq | ne
+    pair_win = F.when(wins_expr >= majority, 1).otherwise(0)
+    scored = (
+        a.join(b, [F.col(f"a.{g}") == F.col(f"b.{g}") for g in group_cols])
+        .filter(neq)
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in group_cols],
+                 *[F.col(f"a.{c}").alias(c) for c in feats])
+        .agg(F.sum(pair_win).alias("score"))
+    )
+    key = group_cols + feats
+    return (
+        df.join(scored, key, "left")
+        .na.fill({"score": 0})
+        .withColumn("score", F.col("score").cast("double"))
+    )

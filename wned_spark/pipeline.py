@@ -129,7 +129,10 @@ def run_er_pipeline(
     if cfg.use_abbrev_expansion:
         # acronyms defined in-conversation resolve to their
         # definition surface before anything downstream sees them
-        mentions = stage("mentions", lambda: mention_ops.expand_abbreviations(m_co))
+        mentions = stage(
+            "mentions",
+            lambda: mention_ops.expand_abbreviations(m_co, cfg.abbrev_threshold),
+        )
     else:
         mentions = stage("mentions", lambda: m_co)
 
