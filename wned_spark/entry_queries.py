@@ -850,6 +850,129 @@ def idf_token_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "r5_soft_tfidf_fuzzy",
+    """
+    WITH s AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part WHERE p_partkey <= 40),
+    toks AS (
+      SELECT id, name, UNNEST(list_distinct(string_split(name, ' '))) AS tok FROM s
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT name) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT name) AS n FROM s),
+    tw AS (
+      SELECT id, tok, LN(1 + CAST(n.n AS DOUBLE) / df.df) AS idf
+      FROM toks JOIN df USING (tok) CROSS JOIN n
+    ),
+    den AS (SELECT id, SUM(idf) AS den FROM tw GROUP BY id),
+    pairs AS (SELECT a.id AS left_id, b.id AS right_id FROM s a JOIN s b ON a.id < b.id),
+    tokpairs AS (
+      SELECT p.left_id, p.right_id, ta.tok AS tok_a, ta.idf AS idf_a,
+             tb.tok AS tok_b, tb.idf AS idf_b,
+             CASE WHEN ta.tok = tb.tok THEN 1.0
+                  ELSE 1.0 - CAST(levenshtein(ta.tok, tb.tok) AS DOUBLE)
+                             / GREATEST(LENGTH(ta.tok), LENGTH(tb.tok)) END AS sim
+      FROM pairs p
+      JOIN tw ta ON ta.id = p.left_id
+      JOIN tw tb ON tb.id = p.right_id
+    ),
+    best_ab AS (
+      SELECT left_id, right_id, tok_a, idf_a, MAX(sim) AS best
+      FROM tokpairs GROUP BY 1, 2, 3, 4
+    ),
+    best_ba AS (
+      SELECT left_id, right_id, tok_b, idf_b, MAX(sim) AS best
+      FROM tokpairs GROUP BY 1, 2, 3, 4
+    ),
+    num_ab AS (
+      SELECT left_id, right_id,
+             SUM(CASE WHEN best >= 0.6 THEN idf_a * best ELSE 0 END) AS num
+      FROM best_ab GROUP BY 1, 2
+    ),
+    num_ba AS (
+      SELECT left_id, right_id,
+             SUM(CASE WHEN best >= 0.6 THEN idf_b * best ELSE 0 END) AS num
+      FROM best_ba GROUP BY 1, 2
+    )
+    SELECT p.left_id, p.right_id,
+           ROUND(GREATEST(COALESCE(num_ab.num, 0) / dl.den,
+                          COALESCE(num_ba.num, 0) / dr.den), 6) AS soft_score
+    FROM pairs p
+    LEFT JOIN num_ab ON num_ab.left_id = p.left_id AND num_ab.right_id = p.right_id
+    LEFT JOIN num_ba ON num_ba.left_id = p.left_id AND num_ba.right_id = p.right_id
+    JOIN den dl ON dl.id = p.left_id
+    JOIN den dr ON dr.id = p.right_id
+    """,
+)
+def r5_soft_tfidf_fuzzy(spark, sf_dir):
+    """R5 SoftTFIDF with a FUZZY inner kernel, fully relational and
+    DuckDB-oracled (round-2 verdict item 10): IDF-weighted directional
+    token alignment where the inner similarity is normalized
+    Levenshtein (1 - d/maxlen) gated at theta=0.6 — the same alignment
+    structure the flagship's ``make_soft_tfidf_udf`` runs with a
+    Jaro-Winkler kernel (StringSim.java:105-160 / Cohen et al.
+    SoftTFIDF). Pins the discriminative-feature semantics (per-token
+    best-match, threshold gate, idf·sim credit, max over directions)
+    against an independent engine; only the inner kernel differs from
+    the production UDF, because JW has no SQL builtin in either
+    engine."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40)
+    s = p.select(F.col("p_partkey").alias("id"), F.lower(F.col("p_name")).alias("name"))
+    toks = s.select(
+        "id", "name", F.explode(F.array_distinct(F.split(F.col("name"), " "))).alias("tok")
+    )
+    df_ = toks.groupBy("tok").agg(F.countDistinct("name").alias("df"))
+    n_names = s.select("name").distinct().count()
+    tw = toks.join(df_, "tok").select(
+        "id", "tok", F.log(1.0 + F.lit(float(n_names)) / F.col("df")).alias("idf")
+    )
+    den = tw.groupBy("id").agg(F.sum("idf").alias("den"))
+    sa, sb = s.alias("a"), s.alias("b")
+    pairs = sa.join(sb, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id")
+    )
+    ta = tw.select(F.col("id").alias("left_id"), F.col("tok").alias("tok_a"), F.col("idf").alias("idf_a"))
+    tb = tw.select(F.col("id").alias("right_id"), F.col("tok").alias("tok_b"), F.col("idf").alias("idf_b"))
+    sim = F.when(F.col("tok_a") == F.col("tok_b"), F.lit(1.0)).otherwise(
+        1.0
+        - F.levenshtein("tok_a", "tok_b")
+        / F.greatest(F.length("tok_a"), F.length("tok_b")).cast("double")
+    )
+    tokpairs = (
+        pairs.join(ta, "left_id").join(tb, "right_id").withColumn("sim", sim)
+    )
+    theta = 0.6
+
+    def _direction(tok_col, idf_col):
+        best = tokpairs.groupBy("left_id", "right_id", tok_col, idf_col).agg(
+            F.max("sim").alias("best")
+        )
+        return best.groupBy("left_id", "right_id").agg(
+            F.sum(
+                F.when(F.col("best") >= theta, F.col(idf_col) * F.col("best")).otherwise(0.0)
+            ).alias("num")
+        )
+    num_ab = _direction("tok_a", "idf_a").withColumnRenamed("num", "num_ab")
+    num_ba = _direction("tok_b", "idf_b").withColumnRenamed("num", "num_ba")
+    dl = den.select(F.col("id").alias("left_id"), F.col("den").alias("den_l"))
+    dr = den.select(F.col("id").alias("right_id"), F.col("den").alias("den_r"))
+    return (
+        pairs.join(num_ab, ["left_id", "right_id"], "left")
+        .join(num_ba, ["left_id", "right_id"], "left")
+        .na.fill({"num_ab": 0.0, "num_ba": 0.0})
+        .join(dl, "left_id")
+        .join(dr, "right_id")
+        .select(
+            "left_id", "right_id",
+            F.round(
+                F.greatest(
+                    F.col("num_ab") / F.col("den_l"), F.col("num_ba") / F.col("den_r")
+                ),
+                6,
+            ).alias("soft_score"),
+        )
+    )
+
+
 @register("text_token_count_bpe", None)  # RE2 (DuckDB) lacks lookarounds
 def text_token_count_bpe(spark, sf_dir):
     """BPE-ish subword token estimate — the split regex uses

@@ -132,20 +132,30 @@ def expand_abbreviations(
         .filter(F.col("rk") == 1)
         .select("conv_id", "surface_norm", "definition")
     )
-    # fuzzy fallback (R10 abbrevSim) for acronyms the exact join missed
-    missed = acr.join(chosen.select("conv_id", "surface_norm"), ["conv_id", "surface_norm"], "left_anti")
-    wf = Window.partitionBy("conv_id", "surface_norm").orderBy(
-        F.desc("sim"), F.desc(F.length("definition")), F.asc("definition")
+    # fuzzy fallback (R10 abbrevSim) for acronyms the exact join missed.
+    # GATED on an emptiness probe of the missed set: the probe is one
+    # tiny dictionary-join action, while the fallback plan (anti-join +
+    # per-conversation cross + Arrow UDF + window) adds ~5 s of stage
+    # scheduling to the flagship even when every acronym matched
+    # exactly — the common case on a clean corpus.
+    missed = acr.join(
+        chosen.select("conv_id", "surface_norm"), ["conv_id", "surface_norm"], "left_anti"
     )
-    fuzzy = (
-        missed.join(defs.drop("acr"), "conv_id")
-        .withColumn("sim", abbrev_sim_udf(F.col("surface"), F.col("definition")))
-        .filter(F.col("sim") > abbrev_threshold)
-        .withColumn("rk", F.row_number().over(wf))
-        .filter(F.col("rk") == 1)
-        .select("conv_id", "surface_norm", "definition")
-    )
-    out = mentions.join(chosen.unionByName(fuzzy), ["conv_id", "surface_norm"], "left")
+    chosen_all = chosen
+    if not missed.isEmpty():
+        wf = Window.partitionBy("conv_id", "surface_norm").orderBy(
+            F.desc("sim"), F.desc(F.length("definition")), F.asc("definition")
+        )
+        fuzzy = (
+            missed.join(defs.drop("acr"), "conv_id")
+            .withColumn("sim", abbrev_sim_udf(F.col("surface"), F.col("definition")))
+            .filter(F.col("sim") > abbrev_threshold)
+            .withColumn("rk", F.row_number().over(wf))
+            .filter(F.col("rk") == 1)
+            .select("conv_id", "surface_norm", "definition")
+        )
+        chosen_all = chosen.unionByName(fuzzy)
+    out = mentions.join(chosen_all, ["conv_id", "surface_norm"], "left")
     base = F.col("canon_norm") if "canon_norm" in mentions.columns else F.col("surface_norm")
     return out.withColumn(
         "canon_norm",

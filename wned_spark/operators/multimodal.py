@@ -79,21 +79,40 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                if row["kind"] == "image" and row["width"] and row["height"]:
-                    plane = _fake_decode_image(payload, int(row["width"]), int(row["height"]))
-                    chunks = np.array_split(plane.ravel(), feat_dim)
-                else:
-                    arr = np.frombuffer(payload, dtype=np.uint8)
-                    chunks = np.array_split(arr, feat_dim)
-                feats.append([float(c.mean()) for c in chunks])
+            kinds = pdf["kind"].to_numpy(dtype=object)
+            payloads = pdf["payload"].to_numpy(dtype=object)
+            widths = pdf["width"].to_numpy(dtype=object)
+            heights = pdf["height"].to_numpy(dtype=object)
+            # decode is inherently per-payload (ragged bytes → plane);
+            # everything downstream is batch-vectorized
+            planes = [
+                _fake_decode_image(p, int(w), int(h)).ravel()
+                if k == "image" and w and h
+                else np.frombuffer(p, dtype=np.uint8)
+                for k, p, w, h in zip(kinds, payloads, widths, heights)
+            ]
+            n = len(planes)
+            if n == 0:
+                continue
+            lens = np.fromiter((a.size for a in planes), dtype=np.int64, count=n)
+            flat = np.concatenate(planes).astype(np.int64)
+            row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # np.array_split boundaries for ALL rows at once: chunk c of
+            # a length-L row starts at c*(L//d) + min(c, L%d)
+            c = np.arange(feat_dim)
+            starts = (
+                row_start[:, None]
+                + c[None, :] * (lens // feat_dim)[:, None]
+                + np.minimum(c[None, :], (lens % feat_dim)[:, None])
+            ).ravel()
+            sums = np.add.reduceat(flat, starts)
+            chunk_lens = np.diff(starts, append=int(lens.sum()))
+            feats = (sums / chunk_lens).reshape(n, feat_dim)
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "feature": feats,
-                "n_bytes": pdf["payload"].map(len),
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": kinds,
+                "feature": list(feats),
+                "n_bytes": np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n),
             })
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
@@ -111,14 +130,30 @@ def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFra
             pdf = pdf[pdf["kind"] == "image"]
             if pdf.empty:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                plane = _fake_decode_image(row["payload"], int(row["width"]), int(row["height"]))
-                ys = np.linspace(0, plane.shape[0] - 1, out_h).astype(int)
-                xs = np.linspace(0, plane.shape[1] - 1, out_w).astype(int)
-                out.append(plane[np.ix_(ys, xs)].tobytes())
+            # column-wise numpy (no per-row pandas): decode + gather
+            # per payload — decode-bound by nature, the index grids are
+            # shared across every row of the same dimensions via memo
+            grid_memo: dict = {}
+
+            def _grid(h: int, w: int):
+                g = grid_memo.get((h, w))
+                if g is None:
+                    ys = np.linspace(0, h - 1, out_h).astype(int)
+                    xs = np.linspace(0, w - 1, out_w).astype(int)
+                    g = np.ix_(ys, xs)
+                    grid_memo[(h, w)] = g
+                return g
+
+            out = [
+                _fake_decode_image(p, int(w), int(h))[_grid(int(h), int(w))].tobytes()
+                for p, w, h in zip(
+                    pdf["payload"].to_numpy(dtype=object),
+                    pdf["width"].to_numpy(dtype=object),
+                    pdf["height"].to_numpy(dtype=object),
+                )
+            ]
             yield pd.DataFrame({
-                "media_id": pdf["media_id"].values,
+                "media_id": pdf["media_id"].to_numpy(),
                 "out_width": out_w,
                 "out_height": out_h,
                 "payload": out,
