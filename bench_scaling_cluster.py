@@ -1,0 +1,244 @@
+#!/usr/bin/env python
+"""Multi-JVM two-cluster-size scaling measurement (round-3 evidence for
+the north rule's N vs 4N executor criterion).
+
+Unlike ``bench_scaling.py`` (single-JVM local[N] vs local[4N], which
+round 2 showed measures local-mode orchestration, not the engine), this
+harness runs a REAL Spark standalone cluster on this host — one master
+JVM + separate worker JVMs — and measures the identical job at two
+executor allocations (``spark.cores.max`` N vs 4N over multi-core
+executor JVMs). Executors are fresh JVM processes per app; shuffle and
+RDD blocks move between executors over TCP + the block manager exactly
+as on a distributed cluster.
+
+Host-bound disclosure (measured, see BENCH_scaling docs): this sandbox
+saturates on memory bandwidth for shuffle-heavy work above ~8 busy
+cores — a pure-JVM 240M-row shuffle join control runs at the SAME wall
+time on 8 and 32 cores (speedup 1.01×) while a pure-CPU control scales
+3.4×. The pipeline measurement therefore uses N=2 → 4N=8 (inside the
+host's headroom) and reports the 32-core control to evidence the
+ceiling; on a real multi-host cluster the bandwidth per executor is
+constant and the N→4N regime is the 2→8 one measured here.
+
+Per level: fresh driver app → corpus generation (untimed) → one
+untimed warm-up pipeline run (JIT/codegen/python-worker pools — a
+long-lived cluster's steady state) → ``--reps`` timed runs. All
+samples disclosed; median reported.
+
+Usage:
+  python bench_scaling_cluster.py                # full orchestration
+  python bench_scaling_cluster.py --convs 60000 --reps 2
+  python bench_scaling_cluster.py --worker --cores 8 ...   # one level
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+MASTER_URL = "spark://127.0.0.1:7077"
+WORK_ROOT = "/tmp/spark-standalone"
+LOCAL_DIRS = "/dev/shm/spark-local"
+N_WORKERS = 8
+WORKER_CORES = 4
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(pyspark.__file__)
+
+
+def _cluster_up() -> bool:
+    import socket
+
+    s = socket.socket()
+    s.settimeout(1)
+    try:
+        s.connect(("127.0.0.1", 7077))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
+def start_cluster() -> None:
+    """Start master + N_WORKERS worker JVMs (idempotent)."""
+    if _cluster_up():
+        return
+    sh = _spark_home()
+    os.makedirs(f"{WORK_ROOT}/logs", exist_ok=True)
+    os.makedirs(LOCAL_DIRS, exist_ok=True)
+    env = dict(os.environ, SPARK_HOME=sh)
+    subprocess.Popen(
+        [f"{sh}/bin/spark-class", "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8089"],
+        stdout=open(f"{WORK_ROOT}/logs/master.log", "w"),
+        stderr=subprocess.STDOUT, env=env,
+    )
+    time.sleep(8)
+    for i in range(1, N_WORKERS + 1):
+        wenv = dict(env, SPARK_WORKER_DIR=f"{WORK_ROOT}/work{i}",
+                    SPARK_LOCAL_DIRS=LOCAL_DIRS)
+        subprocess.Popen(
+            [f"{sh}/bin/spark-class", "org.apache.spark.deploy.worker.Worker",
+             "--cores", str(WORKER_CORES), "--memory", "10g",
+             "--webui-port", str(8100 + i), MASTER_URL],
+            stdout=open(f"{WORK_ROOT}/logs/worker{i}.log", "w"),
+            stderr=subprocess.STDOUT, env=wenv,
+        )
+    time.sleep(10)
+
+
+def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
+    import tempfile
+
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+    from wned_spark.config import ERConfig
+    from wned_spark.datagen import generate_corpus
+    from wned_spark.pipeline import run_er_pipeline
+    from wned_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"wned_scaling_c{cores}",
+        master=MASTER_URL,
+        shuffle_partitions=16,
+        extra_conf={
+            "spark.cores.max": str(cores),
+            "spark.executor.cores": str(executor_cores),
+            "spark.executor.memory": "6g",
+            "spark.driver.memory": "8g",
+            "spark.local.dir": LOCAL_DIRS,
+            # many dictionary-sized stages: a 3s locality wait per task
+            # wave costs more than any data movement it avoids
+            "spark.locality.wait": "0ms",
+        },
+    )
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp())
+    corpus = generate_corpus(
+        spark, n_conversations=convs, turns_per_conv=12,
+        n_entities=max(64, convs // 8), community_size=8,
+    )
+    transcripts = corpus["transcripts"].persist()
+    n_turns = transcripts.count()
+
+    def one_run() -> float:
+        t0 = time.time()
+        res = run_er_pipeline(
+            spark, transcripts, alias_raw=corpus["alias_raw"], cfg=ERConfig()
+        )
+        res.clusters.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    one_run()  # warm-up: JIT + codegen caches + python worker pools
+    walls = [round(one_run(), 2) for _ in range(reps)]
+    med = sorted(walls)[len(walls) // 2]
+    print(json.dumps({
+        "cores": cores, "executor_cores": executor_cores, "turns": n_turns,
+        "walls_sec": walls, "median_wall_sec": med,
+        "turns_per_sec": round(n_turns / med, 2),
+    }))
+
+
+def shuffle_control(cores: int) -> dict:
+    """Pure-JVM shuffle-join control: no python, no pipeline — isolates
+    what the HOST gives Spark at this core count."""
+    code = f"""
+import sys, os, time, json
+sys.path.insert(0, {REPO!r})
+os.environ["PYSPARK_PYTHON"] = sys.executable
+from wned_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="ctl{cores}", master={MASTER_URL!r}, shuffle_partitions=64,
+                  extra_conf={{"spark.cores.max": "{cores}", "spark.executor.cores": "4",
+                              "spark.executor.memory": "8g", "spark.driver.memory": "8g",
+                              "spark.local.dir": {LOCAL_DIRS!r},
+                              "spark.locality.wait": "0ms"}})
+a = spark.range(120_000_000).select(F.col("id"), (F.col("id") % 4000000).alias("k"), F.rand(1).alias("x"))
+b = spark.range(120_000_000).select((F.col("id") % 4000000).alias("k"), F.rand(2).alias("y"))
+q = lambda: a.join(b, "k").groupBy((F.col("k") % 1024).alias("g")).agg(F.sum("x"), F.sum("y")).write.format("noop").mode("overwrite").save()
+q()
+t0 = time.time(); q(); w = time.time() - t0
+print(json.dumps({{"cores": {cores}, "wall_sec": round(w, 1)}}))
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+
+def _burn(_):
+    x = 0
+    t0 = time.time()
+    while time.time() - t0 < 3:
+        x += 1
+    return x
+
+
+def cpu_control() -> dict:
+    """Pure-CPU control (no Spark): does the host scale 8→32 processes?"""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            out[n] = sum(p.map(_burn, range(n)))
+    return {"iters_8": out[8], "iters_32": out[32],
+            "speedup": round(out[32] / out[8], 2)}
+
+
+def orchestrate(convs: int, reps: int) -> None:
+    start_cluster()
+    results = {}
+    # N=2 (1×2-core executor) vs 4N=8 (4×2-core executors): multi-JVM
+    # separation at both levels, inside the host's bandwidth headroom
+    for cores in (2, 8):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cores", str(cores), "--convs", str(convs),
+             "--reps", str(reps), "--executor-cores", "2"],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"cores={cores}: {results[cores]}", file=sys.stderr)
+
+    t_n, t_4n = results[2]["turns_per_sec"], results[8]["turns_per_sec"]
+    ctl8 = shuffle_control(8)
+    ctl32 = shuffle_control(32)
+    cpu = cpu_control()
+    print(json.dumps({
+        "mode": "standalone-cluster multi-JVM",
+        "n_level": results[2], "4n_level": results[8],
+        "speedup": round(t_4n / t_n, 3),
+        "scaling_efficiency": round(t_4n / t_n / 4.0, 3),
+        "host_ceiling_controls": {
+            "shuffle_join_240M_rows": {"wall_8_cores": ctl8["wall_sec"],
+                                        "wall_32_cores": ctl32["wall_sec"],
+                                        "speedup_8_to_32": round(
+                                            ctl8["wall_sec"] / ctl32["wall_sec"], 2)},
+            "pure_cpu_8_to_32_procs": cpu,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--executor-cores", type=int, default=2)
+    ap.add_argument("--convs", type=int, default=60000)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cores, args.convs, args.reps, args.executor_cores)
+    else:
+        orchestrate(args.convs, args.reps)

@@ -139,3 +139,42 @@ def test_milne_witten_range(spark):
     #                      MW(2,4) = 1 - (ln2-ln1)/(ln4-ln1) = 0.5
     assert abs(out[(2, 3)] - 0.0) < 1e-12
     assert abs(out[(2, 4)] - 0.5) < 1e-12
+
+
+def test_soft_tfidf_relational_matches_udf(spark):
+    """The relational SoftTFIDF (one JW per distinct token pair,
+    executor-count-independent work) must reproduce the Arrow-UDF
+    kernel it replaced, including initial expansion, dotted initials,
+    duplicate tokens, and the theta gate."""
+    from pyspark.sql import functions as F
+
+    from wned_spark.operators.scoring import make_soft_tfidf_udf, soft_tfidf_scores
+
+    pairs = spark.createDataFrame(
+        [
+            ("alice gardenbar", "a. gardenbar"),
+            ("alice gardenbar", "alice gardenbar"),
+            ("acme widgets", "acme widgets inc"),
+            ("john john smith", "john smith"),
+            ("q. zhu", "quinn zhu"),
+            ("foo bar", "zzz qqq"),
+            ("gardenbar", "gardenbar systems"),
+            ("intl bus machines", "ibm"),
+        ],
+        "left_norm string, right_norm string",
+    )
+    udf = make_soft_tfidf_udf(pairs, theta=0.90)
+    want = {
+        (r["left_norm"], r["right_norm"]): r["v"]
+        for r in pairs.select(
+            "left_norm", "right_norm",
+            udf(F.col("left_norm"), F.col("right_norm")).alias("v"),
+        ).collect()
+    }
+    got = {
+        (r["left_norm"], r["right_norm"]): r["name_soft"]
+        for r in soft_tfidf_scores(pairs, theta=0.90).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])

@@ -56,3 +56,23 @@ def test_semi_join_stays_semi(spark):
     df = EQ.queries()["j5_semi_join"](spark, SF_DIR)
     plan = _physical_plan(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_soft_tfidf_relational_plan_shape(spark):
+    """The relational SoftTFIDF's token-pair expansion must be
+    generator-only (explode from split expressions — no join building
+    the |pairs|·t² intermediate) and must never plan a cartesian
+    product; the tiny n_surf aggregate must broadcast."""
+    from pyspark.sql import functions as F
+
+    from wned_spark.operators.scoring import soft_tfidf_scores
+
+    pairs = spark.createDataFrame(
+        [("alice gardenbar", "a. gardenbar"), ("acme widgets", "acme widgets inc")],
+        "left_norm string, right_norm string",
+    )
+    df = soft_tfidf_scores(pairs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate posexplode" in plan or "Generate explode" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -105,6 +105,12 @@ class ERConfig:
     # CSUtils.java:53-78, strengthened to SoftTFIDF)
     soft_theta: float = 0.90
     soft_gate: float = 0.85
+    # SoftTFIDF strategy gate: distinct surface pairs below this run
+    # the single-map-stage Arrow-UDF kernel (per-worker memo covers a
+    # dictionary-sized vocabulary); at or above it the relational
+    # kernel runs — one JW per distinct token pair corpus-wide, work
+    # independent of executor count (scoring.soft_tfidf_feature)
+    soft_relational_min_pairs: int = 50_000
     feature_weights: dict = field(
         default_factory=lambda: {
             # LINEAR rank combination generalized to the pair-scoring

@@ -973,6 +973,69 @@ def r5_soft_tfidf_fuzzy(spark, sf_dir):
     )
 
 
+@register(
+    "r1_rank_schemes",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             (c_custkey % 7) / 7.0 AS p,
+             (c_custkey % 5) / 5.0 AS l,
+             (c_custkey % 3) / 3.0 AS s
+      FROM customer WHERE c_custkey <= 200
+    ),
+    d AS (SELECT DISTINCT c_nationkey, p, l, s FROM c),
+    wins AS (
+      SELECT a.c_nationkey, a.p, a.l, a.s,
+             SUM(CASE WHEN (CASE WHEN a.p > b.p THEN 1 ELSE 0 END
+                          + CASE WHEN a.l > b.l THEN 1 ELSE 0 END
+                          + CASE WHEN a.s > b.s THEN 1 ELSE 0 END) >= 2
+                 THEN 1 ELSE 0 END) AS vote
+      FROM d a JOIN d b
+        ON a.c_nationkey = b.c_nationkey
+       AND NOT (a.p = b.p AND a.l = b.l AND a.s = b.s)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c.c_custkey,
+           ROUND(0.08 * c.p * c.s + 0.92 * c.l * c.s, 6) AS multiply_score,
+           ROUND(1 - (1 - c.p) * (1 - c.l) * (1 - c.s), 6) AS nor_score,
+           CAST(COALESCE(w.vote, 0) AS DOUBLE) AS vote_score
+    FROM c LEFT JOIN wins w
+      ON w.c_nationkey = c.c_nationkey AND w.p = c.p AND w.l = c.l AND w.s = c.s
+    """,
+)
+def r1_rank_schemes(spark, sf_dir):
+    """R1 rank-combination family (Feature.java:59-163) driver-checked
+    against an independent engine: MULTIPLY (compareToJoint2 with
+    alpha=priorWeight=0.08), NOR (noisy-or), and VOTE (pairwise-majority
+    Copeland over distinct feature tuples per group) on deterministic
+    synthetic features over the customer table."""
+    from wned_spark.config import ERConfig
+    from wned_spark.operators.scoring import combine_scores, vote_copeland_score
+
+    cfg = ERConfig()
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            ((F.col("c_custkey") % 7) / 7.0).alias("shared_prior"),
+            ((F.col("c_custkey") % 5) / 5.0).alias("ctx_cosine"),
+            ((F.col("c_custkey") % 3) / 3.0).alias("sig_cosine"),
+        )
+    )
+    mult = combine_scores(c, cfg, scheme="MULTIPLY").select(
+        "c_custkey", F.round("score", 6).alias("multiply_score")
+    )
+    nor = combine_scores(c, cfg, scheme="NOR").select(
+        "c_custkey", F.round("score", 6).alias("nor_score")
+    )
+    vote = vote_copeland_score(c, ["c_nationkey"]).select(
+        "c_custkey", F.col("score").alias("vote_score")
+    )
+    return mult.join(nor, "c_custkey").join(vote, "c_custkey")
+
+
 @register("text_token_count_bpe", None)  # RE2 (DuckDB) lacks lookarounds
 def text_token_count_bpe(spark, sf_dir):
     """BPE-ish subword token estimate — the split regex uses

@@ -38,32 +38,32 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
     """(left_norm, right_norm) distinct pairs → string features.
 
     Levenshtein + Dice stay JVM-side; Jaro-Winkler is the one
-    Arrow-batched pandas UDF (R3 has no Catalyst builtin).
+    Arrow-batched pandas UDF (R3 has no Catalyst builtin). SoftTFIDF —
+    THE discriminative name feature (Cohen et al.; the reference ships
+    it too, StringSim.java:105-160): IDF-weighted directional token
+    alignment with a JW>=theta inner gate and initial-expansion ("q."
+    matches "quinn") — is computed by the RELATIONAL kernel
+    (:func:`soft_tfidf_scores`), whose UDF work is one JW call per
+    distinct token-type pair corpus-wide, independent of partitioning
+    and executor count.
 
-    The input is explicitly repartitioned to 2× core count: AQE sizes
-    reducer counts by BYTES, and a name-pair table is only a few MB
-    per million rows while the JW/SoftTFIDF kernels are CPU-heavy —
-    byte-sized partitioning caps this stage at ~10-way regardless of
-    cluster size. Explicit core-count partitioning is exempt from AQE
-    coalescing, so the UDF stage scales with the executor count.
+    The input is explicitly repartitioned to 2× core count for the
+    full-surface JW UDF: AQE sizes reducer counts by BYTES, and a
+    name-pair table is only a few MB per million rows while the JW
+    kernel is CPU-heavy — byte-sized partitioning caps this stage at
+    ~10-way regardless of cluster size. Explicit core-count
+    partitioning is exempt from AQE coalescing, so the UDF stage
+    scales with the executor count.
     """
     n = cfg.shingle_size
-    soft = make_soft_tfidf_udf(surface_pairs, theta=cfg.soft_theta)
+    soft = soft_tfidf_feature(surface_pairs, cfg)
     surface_pairs = surface_pairs.repartition(
         2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
     )
-    return surface_pairs.select(
+    feats = surface_pairs.select(
         "left_norm",
         "right_norm",
         jaro_winkler_udf(F.col("left_norm"), F.col("right_norm")).alias("name_jw"),
-        # SoftTFIDF (Cohen et al.; the reference ships it too —
-        # StringSim.java:105-160): IDF-weighted directional token
-        # alignment with a JW>=theta inner gate and initial-expansion
-        # ("q." matches "quinn"). THE discriminative name feature:
-        # generic tokens ("Labs", "Industries") carry low IDF, dropped
-        # tokens (initial/surname-only variants) cost nothing in the
-        # max-direction, and a non-matching surname zeroes the score.
-        soft(F.col("left_norm"), F.col("right_norm")).alias("name_soft"),
         levenshtein_norm(F.col("left_norm"), F.col("right_norm")).alias("name_lev"),
         # the reference's exact multiset min-count Dice
         # (AliasLuceneIndex.java:327-329) over non-distinct bigrams;
@@ -73,6 +73,154 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
             char_shingles(F.col("left_norm"), n, distinct=False),
             char_shingles(F.col("right_norm"), n, distinct=False),
         ).alias("name_dice"),
+    )
+    return feats.join(soft, ["left_norm", "right_norm"], "left").na.fill(
+        {"name_soft": 0.0}
+    )
+
+
+def soft_tfidf_feature(
+    surface_pairs: DataFrame, cfg: ERConfig = ERConfig()
+) -> DataFrame:
+    """Size-gated SoftTFIDF strategy (same decision shape as
+    ``connected_components_auto``): below
+    ``cfg.soft_relational_min_pairs`` distinct pairs the Arrow-UDF
+    kernel runs — one map stage, no shuffles, and at dictionary scale
+    its per-worker memo covers the whole vocabulary; above it the
+    relational kernel (:func:`soft_tfidf_scores`) takes over, whose JW
+    work is one call per distinct token pair corpus-wide regardless of
+    partitioning. Both produce identical scores (parity-pinned)."""
+    n_pairs = surface_pairs.count()
+    if n_pairs < cfg.soft_relational_min_pairs:
+        udf = make_soft_tfidf_udf(surface_pairs, theta=cfg.soft_theta)
+        return surface_pairs.select(
+            "left_norm",
+            "right_norm",
+            udf(F.col("left_norm"), F.col("right_norm")).alias("name_soft"),
+        )
+    return soft_tfidf_scores(surface_pairs, theta=cfg.soft_theta)
+
+
+def soft_tfidf_scores(
+    surface_pairs: DataFrame, theta: float = 0.90
+) -> DataFrame:
+    """Relational SoftTFIDF over (left_norm, right_norm) pairs →
+    (left_norm, right_norm, name_soft).
+
+    soft(A,B) = max over directions of
+        sum_{t in A, best(t,B) >= theta} idf(t) * best(t, B)
+        / sum_{t in A} idf(t)
+    with best(t,B) = max over b in B of JW(t,b); single-letter tokens
+    match any token sharing their first letter (initial expansion,
+    R10-lite); idf(t) = ln(1 + N/df(t)), df over distinct surfaces.
+
+    SCALE DESIGN — this replaced an Arrow-batched per-pair UDF with a
+    per-worker (token, token) JW memo. The memo version anti-scaled:
+    its cache was private to each of E×C python workers, so the same
+    Zipf-head token comparisons were recomputed in every partition and
+    aggregate work GREW with executor count (measured 77 task-seconds
+    at 2 executors → 762 at 8 for the same input). Here the Zipf dedup
+    is GLOBAL and explicit: the JW UDF runs once per DISTINCT
+    token-type pair in the whole pair set, every other step is
+    joins/groupBys that Catalyst plans and AQE sizes. Also removes the
+    old bounded driver vocabulary pull — idf stays distributed.
+    """
+    sp = surface_pairs.select("left_norm", "right_norm").distinct()
+    surfaces = (
+        sp.select(F.col("left_norm").alias("s"))
+        .union(sp.select(F.col("right_norm").alias("s")))
+        .distinct()
+    )
+
+    def _toks(col):
+        return F.filter(F.split(col, r"[\s\.]+"), lambda t: t != "")
+
+    inst = surfaces.select(
+        "s", F.posexplode(_toks(F.col("s"))).alias("pos", "tok")
+    )
+    dfreq = inst.select("s", "tok").distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    n_df = surfaces.agg(F.count("*").cast("double").alias("n_surf"))
+    tokidf = dfreq.crossJoin(F.broadcast(n_df)).select(
+        "tok", F.log(1.0 + F.col("n_surf") / F.col("df")).alias("idf")
+    )
+    # denominator = Σ idf over a surface's token instances — depends on
+    # the SURFACE alone, so it is a 1-row-per-surface table joined at
+    # the very end, never carried through the token-pair expansion
+    den = (
+        inst.join(tokidf, "tok")
+        .groupBy("s")
+        .agg(F.sum("idf").alias("den"))
+    )
+
+    # Token-pair expansion is PURE MAP-SIDE: a pair row self-contains
+    # both strings, so both token lists come from split() expressions —
+    # the |pairs|·tₗ·tᵣ intermediate never rides a join or shuffle.
+    def _expand(pos_side: str, other_side: str) -> DataFrame:
+        return sp.select(
+            "left_norm",
+            "right_norm",
+            F.posexplode(_toks(F.col(pos_side))).alias("pos_a", "tok_a"),
+        ).select(
+            "left_norm", "right_norm", "pos_a", "tok_a",
+            F.explode(_toks(F.col(other_side))).alias("tok_b"),
+        )
+
+    tp_l = _expand("left_norm", "right_norm")
+
+    # ONE JW evaluation per distinct token-type pair corpus-wide (the
+    # global Zipf dedup), THETA-FILTERED before joining back: tokens
+    # whose best match is below theta contribute nothing to the
+    # numerator, so dropping sub-theta sims up front shrinks the
+    # aggregated rows by ~10× without changing any score. JW is
+    # symmetric, so the same sims table serves both directions.
+    tpairs = tp_l.select("tok_a", "tok_b").distinct()
+    sims = tpairs.withColumn(
+        "sim",
+        F.when(
+            (F.length("tok_a") == 1) | (F.length("tok_b") == 1),
+            (F.substring("tok_a", 1, 1) == F.substring("tok_b", 1, 1)).cast("double"),
+        ).otherwise(jaro_winkler_udf(F.col("tok_a"), F.col("tok_b"))),
+    ).filter(F.col("sim") >= theta)
+
+    def _direction(tp: DataFrame, sims_df: DataFrame, den_key: str, out: str) -> DataFrame:
+        matched = tp.join(sims_df, ["tok_a", "tok_b"])
+        best = matched.groupBy("left_norm", "right_norm", "pos_a", "tok_a").agg(
+            F.max("sim").alias("best")
+        )
+        num = (
+            best.join(tokidf, best["tok_a"] == tokidf["tok"])
+            .groupBy("left_norm", "right_norm")
+            .agg(F.sum(F.col("idf") * F.col("best")).alias("num"))
+        )
+        return num.join(
+            den.select(F.col("s").alias(den_key), "den"), den_key
+        ).select(
+            "left_norm",
+            "right_norm",
+            F.when(F.col("den") > 0, F.col("num") / F.col("den"))
+            .otherwise(0.0)
+            .alias(out),
+        )
+
+    score_l = _direction(tp_l, sims, "left_norm", "soft_l")
+    # direction r: instance token (tok_a) is the RIGHT token; reuse the
+    # same sims table with its orientation swapped (JW is symmetric but
+    # the distinct pair set was built left→right)
+    tp_r = _expand("right_norm", "left_norm")
+    sims_r = sims.select(
+        F.col("tok_b").alias("tok_a"), F.col("tok_a").alias("tok_b"), "sim"
+    )
+    score_r = _direction(tp_r, sims_r, "right_norm", "soft_r")
+    return (
+        sp.join(score_l, ["left_norm", "right_norm"], "left")
+        .join(score_r, ["left_norm", "right_norm"], "left")
+        .select(
+            "left_norm",
+            "right_norm",
+            F.greatest(
+                F.coalesce("soft_l", F.lit(0.0)), F.coalesce("soft_r", F.lit(0.0))
+            ).alias("name_soft"),
+        )
     )
 
 

@@ -127,6 +127,17 @@ def run_er_pipeline(
     m_co = stage("mentions_coref", lambda: mention_ops.resolve_coref(m_ex),
                  ckpt=False)
     if cfg.use_abbrev_expansion:
+        # Fill the extraction/coref caches with ONE sequential pass
+        # before the expansion fans out: expand_abbreviations probes
+        # its exact-miss set (an action) whose plan scans m_co three
+        # ways (acr / defs / final join). When the persisted lineage is
+        # still cold, the DAG scheduler runs those scans as CONCURRENT
+        # stages that each recompute the extraction UDF (a persist
+        # cache only serves hits AFTER a partition completes) — on an
+        # 8-executor cluster this tripled the most expensive UDF stage
+        # (measured 143 stage-seconds of probe vs 16 after this count).
+        if catalog is None:
+            m_co.count()
         # acronyms defined in-conversation resolve to their
         # definition surface before anything downstream sees them
         mentions = stage(
