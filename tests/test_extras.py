@@ -240,3 +240,42 @@ def test_embedding_near_dup_recall_on_planted_pairs(spark):
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9, recall
     assert out.filter(F.col("cosine") < 0.99).count() == 0
+
+
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF probes its n_probe nearest cells: planted strong neighbors
+    (tiny angular distance from their query) land in the same or an
+    adjacent cell, so recall on them must be high; returned cosines
+    must be bit-exact vs brute force; and the deterministic training
+    (sorted-id sample, evenly-spaced init) must yield identical
+    centroids across calls."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(10):
+        v = [rng.gauss(0, 1) for _ in range(24)]
+        rows.append((i, v))
+        rows.append((100 + i, [x + rng.gauss(0, 0.08) for x in v]))
+        rows.append((200 + i, [x + rng.gauss(0, 0.12) for x in v]))
+    for i in range(400):
+        rows.append((1000 + i, [rng.gauss(0, 1) for _ in range(24)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    C1 = ann.train_ivf_centroids(emb, n_centroids=8)
+    C2 = ann.train_ivf_centroids(emb, n_centroids=8)
+    assert np.array_equal(C1, C2)
+
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in ann.cosine_topk_bruteforce(q, emb, k=2).collect()}
+    ivf_rows = ann.cosine_topk_ivf(q, emb, k=2, n_centroids=8, n_probe=3,
+                                   centroids=C1).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in ivf_rows}
+    for key, v in ivf.items():
+        if key in bf:
+            assert abs(v - bf[key]) < 1e-9
+    recall = len(set(bf) & set(ivf)) / len(bf)
+    assert recall >= 0.9, recall

@@ -1315,6 +1315,20 @@ def ann_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(q, e, k=5).select("query_id", "neighbor_id", "rk")
 
 
+@register("ann_cosine_topk_ivf", None)  # k-means index → rows-only;
+# recall + bit-exact-cosine pinned by tests/test_extras.py
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-indexed ANN: deterministic spherical-k-means cells, n_probe
+    nearest cells per query, exact-cosine re-rank of cell candidates."""
+    from wned_spark.operators.ann import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(q, e, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rk"
+    )
+
+
 _LANG_SQL_SCORE = """
   CAST(len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}0-9]+'),
        x -> x <> '' AND x IN ({words}))) AS DOUBLE)

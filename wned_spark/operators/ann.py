@@ -1,15 +1,20 @@
 """Similarity search over embedding columns — brute-force cosine top-k
-baseline + LSH-bucketed approximate variant (the scale path).
+baseline + two approximate scale paths: multi-table RP-LSH buckets and
+an IVF (inverted-file) index over deterministic spherical-k-means
+cells.
 
-All vector math is JVM-side via higher-order functions (``zip_with`` +
-``aggregate``) — no Python in the hot loop. The brute-force path is the
-exactness oracle; the bucketed path bounds the join fan-out for
-billion-row corpora (probe joins only its bucket ± multiprobe
-neighbors instead of the full corpus).
+Vector math stays JVM-side via higher-order functions (``zip_with`` +
+``aggregate``) except the IVF cell assignment, which is one vectorized
+Arrow batch matmul against broadcast centroids. The brute-force path is
+the exactness oracle; both indexed paths bound the join fan-out for
+billion-row corpora (a probe joins only its buckets / n_probe cells
+instead of the full corpus).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,6 +127,119 @@ def cosine_topk_lsh(
             "cosine",
             _dot(F.col("query_id_v"), F.col("neighbor_id_v"))
             / (_norm(F.col("query_id_v")) * _norm(F.col("neighbor_id_v"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+    iters: int = 10,
+):
+    """Spherical k-means centroids for an IVF index, trained on a
+    DETERMINISTIC bounded sample (lowest ``sample_limit`` ids,
+    evenly-spaced init over the sorted sample — no RNG, so the index
+    is identical across runs and parallelism levels).
+
+    Standard IVF practice at any scale: centroids come from a sample
+    that fits one machine (FAISS trains on ~256·n_centroids points);
+    only the ASSIGNMENT pass touches the full corpus, and that runs
+    distributed. Returns a unit-normalized (n_centroids × d) ndarray.
+    """
+    tbl = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_limit)
+        .toArrow()
+    )
+    X = np.array(tbl.column("v").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    n = len(X)
+    k_ = min(n_centroids, n)
+    C = X[np.linspace(0, n - 1, k_).astype(int)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(k_):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus rows
+    are partitioned into ``n_centroids`` spherical-k-means cells (one
+    vectorized Arrow map stage against broadcast centroids); each query
+    probes its ``n_probe`` nearest cells and re-ranks candidates with
+    exact cosine. Fan-out per query is bounded by
+    ``n_probe/n_centroids`` of the corpus instead of |C| — the standard
+    ANN scale path alongside the RP-LSH tables, with recall controlled
+    by n_probe rather than table count."""
+    from pyspark.sql import types as T
+
+    C = centroids if centroids is not None else train_ivf_centroids(
+        corpus, n_centroids, id_col, vec_col
+    )
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(C, dtype=np.float64))
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(v: pd.Series) -> pd.Series:
+        Cm = bc.value
+        M = np.array(v.to_list(), dtype=np.float64)
+        n_ = np.linalg.norm(M, axis=1, keepdims=True)
+        n_[n_ == 0] = 1.0
+        return pd.Series((M / n_ @ Cm.T).argmax(axis=1).astype(np.int32))
+
+    n_probe_eff = min(n_probe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        Cm = bc.value
+        M = np.array(v.to_list(), dtype=np.float64)
+        n_ = np.linalg.norm(M, axis=1, keepdims=True)
+        n_[n_ == 0] = 1.0
+        sims = M / n_ @ Cm.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe_eff].astype(np.int32)
+        return pd.Series(list(top))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", cell_of(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    cand = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
