@@ -131,3 +131,33 @@ def test_abbrev_sim_pinned_values():
     # empty extraction (no caps, use_cap covers it) never scores via
     # the Java empty-string length quirk
     assert abbrev_sim("IBM", "") == 0.0
+
+
+def test_second_pass_local_matches_distributed(spark):
+    """The driver-numpy fast path of the second pass must produce the
+    same overrides as the distributed PPR+cosine plan on an ambiguous
+    corpus (same kernels, same argmax tiebreaks)."""
+    import dataclasses
+
+    from wned_spark.pipeline import run_er_pipeline
+
+    c = generate_corpus(
+        spark, n_conversations=40, turns_per_conv=10,
+        n_entities=32, community_size=8, ambiguity_rate=1.0,
+    )
+    c["transcripts"] = c["transcripts"].cache()
+
+    def clusters(cfg):
+        res = run_er_pipeline(
+            spark, c["transcripts"], alias_raw=c["alias_raw"],
+            gold_mentions=c["gold_mentions"], cfg=cfg,
+        )
+        return {(r["mention_id"], r["cluster_id"]) for r in res.clusters.collect()}, res.metrics
+
+    fast, m_fast = clusters(ERConfig())
+    slow, m_slow = clusters(
+        dataclasses.replace(ERConfig(), second_pass_local_max_rows=0)
+    )
+    assert fast == slow
+    assert m_fast == m_slow
+    assert m_fast["f1"] >= 0.99, m_fast

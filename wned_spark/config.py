@@ -138,6 +138,13 @@ class ERConfig:
     # conversation-signature argmax for mentions of surfaces with >1
     # candidate entity (ELUtils.java:59-94 document signatures)
     use_second_pass: bool = True
+    # driver fast path for the second pass: when the graph fits the
+    # broadcast cap AND the preference/trial tables are each under this
+    # many rows, the override argmax runs in driver numpy with the same
+    # CSR/PPR kernels the executors use (the distributed plan costs ~12
+    # small stages of orchestration for a usually-tiny result); 0
+    # disables the fast path
+    second_pass_local_max_rows: int = 100_000
 
     # --- connected components (G8) ---
     cc_max_iter: int = 20

@@ -107,6 +107,97 @@ def second_pass_overrides(
             reps.unpersist()
 
 
+def _second_pass_best_local(spark, edges, pref_tbl, trial_tbl, cfg):
+    """Driver-numpy computation of the per-(conversation, surface)
+    best representative — semantics identical to the distributed path:
+    conversation signatures via preference-vector PPR (duplicate nodes
+    aggregated, graph-absent nodes as pure-dangling virtual indices),
+    representative signatures via single-seed PPR (isolated seeds fix
+    at themselves), cosine over shared nodes, argmax gated on
+    cosine > 0 with (desc cosine, asc entity_id) tiebreak."""
+    import numpy as np
+
+    from wned_spark.operators import ppr
+
+    csr = ppr._csr_collect(edges, cfg.ppr_max_degree)
+    n_, _indptr, _dst, _p, has_out, rev = csr
+    alpha, iters = cfg.ppr_alpha, cfg.ppr_max_iter
+
+    sigs: dict = {}
+
+    def _store(key, idx, val, virt_map=None):
+        # map dense indices back to original node ids
+        nodes = np.where(
+            idx < n_,
+            rev[np.minimum(idx, n_ - 1)],
+            np.array([virt_map.get(int(i), -1) for i in idx]) if virt_map else -1,
+        )
+        order = np.argsort(nodes)
+        sigs[key] = (nodes[order], val[order])
+
+    # conversation signatures (preference-vector PPR)
+    p_seed = pref_tbl.column("seed").to_numpy().astype(np.int64, copy=False)
+    p_node = pref_tbl.column("node").to_numpy().astype(np.int64, copy=False)
+    p_w = pref_tbl.column("w").to_numpy().astype(np.float64, copy=False)
+    for seed in np.unique(p_seed):
+        m_ = p_seed == seed
+        nodes, inv0 = np.unique(p_node[m_], return_inverse=True)
+        w = np.bincount(inv0, weights=p_w[m_])
+        w = w / w.sum()
+        pos = np.searchsorted(rev, nodes)
+        pos_safe = np.minimum(pos, n_ - 1)
+        present = (pos < n_) & (rev[pos_safe] == nodes)
+        pidx = np.where(present, pos_safe, n_ + np.arange(len(nodes)))
+        virt_map = {int(n_ + k): int(nodes[k]) for k in range(len(nodes))}
+        idx, val = ppr._ppr_sparse(csr, pidx.astype(np.int64), w, alpha, iters)
+        _store(int(seed), idx, val, virt_map)
+
+    # representative signatures (single-seed PPR)
+    t_conv = trial_tbl.column("conv_id").to_pylist()
+    t_seed = trial_tbl.column("seed_a").to_numpy().astype(np.int64, copy=False)
+    t_sid = trial_tbl.column("sid").to_numpy().astype(np.int64, copy=False)
+    t_ent = trial_tbl.column("entity_id").to_numpy().astype(np.int64, copy=False)
+    t_rep = trial_tbl.column("rep_sid").to_numpy().astype(np.int64, copy=False)
+    for rep in np.unique(t_rep):
+        pos = int(np.searchsorted(rev, rep))
+        six = pos if pos < n_ and rev[pos] == rep else None
+        if six is None or not has_out[six]:
+            sigs[int(rep)] = (np.array([rep], dtype=np.int64), np.array([1.0]))
+            continue
+        idx, val = ppr._ppr_sparse(
+            csr, np.array([six], dtype=np.int64), np.array([1.0]), alpha, iters
+        )
+        _store(int(rep), idx, val)
+
+    def _cos(a, b):
+        ia, va = sigs.get(a, (np.empty(0, np.int64), np.empty(0)))
+        ib, vb = sigs.get(b, (np.empty(0, np.int64), np.empty(0)))
+        if not len(ia) or not len(ib):
+            return 0.0
+        _common, ca, cb = np.intersect1d(ia, ib, assume_unique=True, return_indices=True)
+        if not len(ca):
+            return 0.0
+        na = float(np.sqrt((va * va).sum()))
+        nb = float(np.sqrt((vb * vb).sum()))
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return float((va[ca] * vb[cb]).sum()) / (na * nb)
+
+    # argmax per (conv_id, sid): cosine > 0, desc cosine / asc entity_id
+    best: dict = {}
+    for i in range(len(t_conv)):
+        c = _cos(int(t_seed[i]), int(t_rep[i]))
+        if c <= 0.0:
+            continue
+        key = (t_conv[i], int(t_sid[i]))
+        cur = best.get(key)
+        cand = (-c, int(t_ent[i]), int(t_rep[i]))
+        if cur is None or cand < cur:
+            best[key] = cand
+    rows = [(k[0], k[1], v[2]) for k, v in best.items()]
+    return spark.createDataFrame(rows, "conv_id string, sid long, rep_sid long")
+
+
 def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg):
     # conversations that need a signature
     convs = amb_mentions.select("conv_id").distinct()
@@ -121,6 +212,43 @@ def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters
         F.xxhash64("conv_id").alias("seed"), F.col("sid").alias("node"), F.lit(1.0).alias("w")
     )
 
+    n_edges = edges.count()
+
+    # DRIVER FAST PATH: the ambiguous slice is usually dictionary-sized
+    # (tens of conversations × a handful of surfaces), yet the
+    # distributed plan costs ~12 small stages (two mapInPandas PPR
+    # chains, a union, a three-way cosine join, two windows) — ~15 s of
+    # pure stage orchestration for a 17-row override table at 720k
+    # turns. When the graph fits the broadcast cap AND the preference/
+    # trial tables are small, compute `best` entirely in numpy with the
+    # SAME kernels the executors run (_csr_collect + _ppr_sparse) —
+    # parity-pinned against the distributed path.
+    if n_edges <= cfg.ppr_broadcast_max_edges:
+        trial_small = (
+            amb_mentions.join(
+                cands.join(amb, "sid", "left_semi").select("sid", "entity_id"), "sid"
+            )
+            .join(reps, "entity_id")
+            .select("conv_id", "sid", "entity_id", "rep_sid")
+            .distinct()
+            .withColumn("seed_a", F.xxhash64("conv_id"))
+        )
+        pref_tbl = preference.toArrow()
+        trial_tbl = trial_small.toArrow()
+        cap = cfg.second_pass_local_max_rows
+        if len(pref_tbl) <= cap and len(trial_tbl) <= cap:
+            best = _second_pass_best_local(
+                amb_mentions.sparkSession, edges, pref_tbl, trial_tbl, cfg
+            )
+            return (
+                amb_mentions.join(best, ["conv_id", "sid"])
+                .join(
+                    surface_clusters.select(F.col("sid").alias("rep_sid"), "cluster_id"),
+                    "rep_sid",
+                )
+                .select("mention_id", "cluster_id")
+            )
+
     # one batched PPR for the conversation preference vectors, one for
     # the representative indicator seeds (both tiny seed sets); same
     # broadcast-vs-join gate as the main pipeline — the broadcast CSR
@@ -128,7 +256,7 @@ def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters
     # join-based variant costs ~3 barriered shuffles per iteration on a
     # side-pipeline that is usually tiny
     rep_seeds = reps.select(F.col("rep_sid").alias("seed")).distinct()
-    if edges.count() <= cfg.ppr_broadcast_max_edges:
+    if n_edges <= cfg.ppr_broadcast_max_edges:
         # ONE shared CSR broadcast: both walks read the same transition
         # matrix; building it twice doubles the normalize+collect cost
         bc = ppr._csr_broadcast(edges, cfg.ppr_max_degree)

@@ -401,10 +401,10 @@ def personalized_pagerank_broadcast(
     ).mapInPandas(run_batch, schema="seed long, node long, rank double")
 
 
-def _csr_broadcast(edges: DataFrame, max_degree: int | None):
-    """Row-normalize, Arrow-collect and CSR-pack the transition matrix,
-    then broadcast the numpy arrays: (n, indptr, dst, p, has_out,
-    rev_ids). rev_ids is sorted — both the dense→original map and the
+def _csr_collect(edges: DataFrame, max_degree: int | None):
+    """Row-normalize, Arrow-collect and CSR-pack the transition matrix
+    as driver numpy arrays: (n, indptr, dst, p, has_out, rev_ids).
+    rev_ids is sorted — both the dense→original map and the
     searchsorted lookup table."""
     import numpy as np
 
@@ -424,8 +424,13 @@ def _csr_broadcast(edges: DataFrame, max_degree: int | None):
     indptr = np.cumsum(indptr)
     has_out = np.zeros(n, dtype=bool)
     has_out[src] = True
+    return (n, indptr, dst, p, has_out, uniq)
+
+
+def _csr_broadcast(edges: DataFrame, max_degree: int | None):
+    """`_csr_collect` + broadcast to executors."""
     sc = edges.sparkSession.sparkContext
-    return sc.broadcast((n, indptr, dst, p, has_out, uniq))
+    return sc.broadcast(_csr_collect(edges, max_degree))
 
 
 def _ppr_sparse(csr, pidx, pval, alpha: float, iters: int):
