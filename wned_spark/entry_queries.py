@@ -1036,6 +1036,67 @@ def r1_rank_schemes(spark, sf_dir):
     return mult.join(nor, "c_custkey").join(vote, "c_custkey")
 
 
+@register(
+    "r10_abbrev_sim",
+    """
+    WITH s AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part WHERE p_partkey <= 30),
+    t AS (
+      SELECT id, name,
+             array_to_string(list_transform(
+               list_filter(string_split(name, ' '), x -> x <> ''),
+               x -> x[1]), '') AS initials
+      FROM s
+    ),
+    pairs AS (
+      SELECT a.id AS a_key, b.id AS b_key,
+             array_to_string(list_sort(string_split(a.initials, '')), '') AS s1,
+             array_to_string(list_sort(string_split(b.initials, '')), '') AS s2
+      FROM t a JOIN t b ON a.id < b.id
+    )
+    SELECT a_key, b_key,
+           ROUND(CASE WHEN LENGTH(s1) = 0 OR LENGTH(s2) = 0 THEN 0.0
+                 ELSE (1.0 - CAST(levenshtein(s1, s2) AS DOUBLE)
+                             / GREATEST(LENGTH(s1), LENGTH(s2)))
+                      * GREATEST(LENGTH(s1), LENGTH(s2))
+                      / (LENGTH(s1) + ABS(LENGTH(s1) - LENGTH(s2)))
+                 END, 6) AS abbrev_sim
+    FROM pairs
+    """,
+)
+def r10_abbrev_sim(spark, sf_dir):
+    """R10 abbrevSim driver-checked against an independent engine: the
+    acronym of each part name (token initials) scored against every
+    other name with the reference's sorted-char length-penalized edit
+    similarity (``MentionExpansion.java:1162-1183``). The Spark side
+    runs the PRODUCTION ``abbrev_sim_udf`` (python kernel); the oracle
+    re-derives the same formula relationally in DuckDB (lowercase
+    definitions make the no-cap extraction empty, so the cap-extraction
+    initials branch is the live one on both sides)."""
+    from wned_spark.functions.similarity import abbrev_sim_udf
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 30)
+        .select(F.col("p_partkey").alias("id"), F.lower(F.col("p_name")).alias("name"))
+    )
+    toks = F.filter(F.split(F.col("name"), " "), lambda t: t != "")
+    withacr = p.withColumn(
+        "acr", F.concat_ws("", F.transform(toks, lambda t: t.substr(1, 1)))
+    )
+    a = withacr.select(F.col("id").alias("a_key"), F.col("acr"))
+    b = withacr.select(F.col("id").alias("b_key"), F.col("name").alias("definition"))
+    return (
+        a.join(b, F.col("a_key") < F.col("b_key"))
+        .select(
+            "a_key",
+            "b_key",
+            F.round(abbrev_sim_udf(F.col("acr"), F.col("definition")), 6).alias(
+                "abbrev_sim"
+            ),
+        )
+    )
+
+
 @register("text_token_count_bpe", None)  # RE2 (DuckDB) lacks lookarounds
 def text_token_count_bpe(spark, sf_dir):
     """BPE-ish subword token estimate — the split regex uses
