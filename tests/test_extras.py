@@ -279,3 +279,56 @@ def test_ann_ivf_recall_and_determinism(spark):
             assert abs(v - bf[key]) < 1e-9
     recall = len(set(bf) & set(ivf)) / len(bf)
     assert recall >= 0.9, recall
+
+
+def test_multimodal_features_short_and_empty_payloads(spark):
+    """Payloads shorter than feat_dim (and fully empty ones) must not
+    crash the vectorized reduceat kernel; empty chunks yield NaN — the
+    per-row np.array_split semantics (ADVICE r3 regression). NaN
+    surfaces as None through Arrow's list<float> conversion."""
+    rows = [
+        # 3-byte audio payload, feat_dim=8 → chunks 0..2 real, 3..7 NaN
+        Row(media_id=1, kind="audio", payload=bytes([10, 20, 30]), mime=None,
+            width=None, height=None, duration_ms=None),
+        # normal-length payload for contrast
+        Row(media_id=2, kind="audio", payload=bytes(range(64)), mime=None,
+            width=None, height=None, duration_ms=None),
+        # empty payload LAST in the batch (the reduceat IndexError case)
+        Row(media_id=3, kind="audio", payload=b"", mime=None,
+            width=None, height=None, duration_ms=None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).coalesce(1)
+    out = {r["media_id"]: r["feature"]
+           for r in multimodal.extract_features(media, feat_dim=8).collect()}
+    assert len(out) == 3
+    short = out[1]
+    assert [round(v) for v in short[:3]] == [10, 20, 30]
+    assert all(v is None for v in short[3:])
+    assert all(v is not None for v in out[2])
+    assert all(v is None for v in out[3])
+
+
+def test_ann_ivf_empty_corpus(spark):
+    """Empty corpus: centroid training returns a (0, d) set and the IVF
+    query path returns an empty result instead of crashing (ADVICE r3)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    C = ann.train_ivf_centroids(empty, n_centroids=8)
+    assert C.shape[0] == 0
+    out = ann.cosine_topk_ivf(q, empty, k=2, n_centroids=8)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rk"}
+
+
+def test_score_surface_pairs_duplicate_input_rows(spark):
+    """Duplicated (left, right) input rows must not multiply score rows
+    through the soft-tfidf join-back (ADVICE r3)."""
+    from wned_spark.operators.scoring import score_surface_pairs
+
+    pairs = spark.createDataFrame(
+        [("jon smith", "john smith")] * 3 + [("acme corp", "acme corporation")] * 2,
+        "left_norm string, right_norm string",
+    )
+    out = score_surface_pairs(pairs)
+    assert out.count() == 2
+    assert out.select("left_norm", "right_norm").distinct().count() == 2

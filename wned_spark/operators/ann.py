@@ -161,7 +161,11 @@ def train_ivf_centroids(
         .limit(sample_limit)
         .toArrow()
     )
-    X = np.array(tbl.column("v").to_pylist(), dtype=np.float64)
+    vlist = tbl.column("v").to_pylist()
+    if not vlist:
+        # empty corpus: (0, 0) centroid set; cosine_topk_ivf handles it
+        return np.zeros((0, 0), dtype=np.float64)
+    X = np.array(vlist, dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     X = X / norms
@@ -203,6 +207,14 @@ def cosine_topk_ivf(
     C = centroids if centroids is not None else train_ivf_centroids(
         corpus, n_centroids, id_col, vec_col
     )
+    if len(C) == 0:
+        # empty corpus → no cells to probe; empty result, id dtype kept
+        q0 = queries.select(F.col(id_col).alias("query_id")).limit(0)
+        return (
+            q0.withColumn("neighbor_id", F.col("query_id"))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("rk", F.lit(1).cast("int"))
+        )
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(np.asarray(C, dtype=np.float64))
 

@@ -223,7 +223,8 @@ def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters
     # trial tables are small, compute `best` entirely in numpy with the
     # SAME kernels the executors run (_csr_collect + _ppr_sparse) —
     # parity-pinned against the distributed path.
-    if n_edges <= cfg.ppr_broadcast_max_edges:
+    cap = cfg.second_pass_local_max_rows
+    if cap > 0 and n_edges <= cfg.ppr_broadcast_max_edges:
         trial_small = (
             amb_mentions.join(
                 cands.join(amb, "sid", "left_semi").select("sid", "entity_id"), "sid"
@@ -233,10 +234,15 @@ def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters
             .distinct()
             .withColumn("seed_a", F.xxhash64("conv_id"))
         )
-        pref_tbl = preference.toArrow()
-        trial_tbl = trial_small.toArrow()
-        cap = cfg.second_pass_local_max_rows
-        if len(pref_tbl) <= cap and len(trial_tbl) <= cap:
+        # the size gate must run BEFORE any collect: limit(cap+1).count()
+        # is one cheap bounded job, so a multi-million-row preference/
+        # trial table is never shipped to the driver just to be rejected
+        if (
+            preference.limit(cap + 1).count() <= cap
+            and trial_small.limit(cap + 1).count() <= cap
+        ):
+            pref_tbl = preference.toArrow()
+            trial_tbl = trial_small.toArrow()
             best = _second_pass_best_local(
                 amb_mentions.sparkSession, edges, pref_tbl, trial_tbl, cfg
             )

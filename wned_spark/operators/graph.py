@@ -38,6 +38,15 @@ def build_cooccurrence_edges(
     (A1). Emits BOTH orientations so downstream adjacency joins are a
     single equi-join on src (D1 convention: max/count per unordered
     pair, then mirror).
+
+    SCALE DESIGN — the join key is (conv_id, turn-bucket), not conv_id
+    alone: bucketing turns at the window width and exploding one side
+    into bucket±1 makes the window predicate prune INSIDE the join, so
+    a pathological long conversation (10k mentions) enumerates
+    O(n·window) candidate pairs instead of O(n²) pre-filter. Every
+    in-window pair lands in exactly one (bucket_b ∈ {bucket_a-1,
+    bucket_a, bucket_a+1}) match, so no dedup is needed; the |Δt| ≤ w
+    filter still applies exactly as before.
     """
     key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
     m = mentions.select(
@@ -46,12 +55,18 @@ def build_cooccurrence_edges(
         node_id(F.col(key_col)).alias("nid"),
         F.col(key_col).alias("name"),
     )
-    a, b = m.alias("a"), m.alias("b")
+    w = cfg.cooccur_window_turns
+    bw = max(w, 1)  # bucket width ≥ 1 so w=0 (same-turn-only) still buckets
+    bkt = F.floor(F.col("t") / F.lit(bw))
+    a = m.withColumn(
+        "bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
+    ).alias("a")
+    b = m.withColumn("bkt", bkt).alias("b")
     pairs = (
-        a.join(b, "conv_id")
+        a.join(b, ["conv_id", "bkt"])
         .filter(
             (F.col("a.nid") < F.col("b.nid"))  # WikiGraphExtractor.java:71-72 guard
-            & (F.abs(F.col("a.t") - F.col("b.t")) <= cfg.cooccur_window_turns)
+            & (F.abs(F.col("a.t") - F.col("b.t")) <= w)
         )
         .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
     )

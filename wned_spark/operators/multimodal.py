@@ -105,9 +105,22 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 + c[None, :] * (lens // feat_dim)[:, None]
                 + np.minimum(c[None, :], (lens % feat_dim)[:, None])
             ).ravel()
-            sums = np.add.reduceat(flat, starts)
-            chunk_lens = np.diff(starts, append=int(lens.sum()))
-            feats = (sums / chunk_lens).reshape(n, feat_dim)
+            total = int(lens.sum())
+            chunk_lens = np.diff(starts, append=total)
+            if total == 0:
+                # every payload empty: np.array_split semantics = all-NaN
+                feats = np.full((n, feat_dim), np.nan)
+            else:
+                # payloads shorter than feat_dim repeat their boundary
+                # index (zero-length chunks); a trailing empty payload
+                # pushes starts to len(flat). Clamp so reduceat never
+                # indexes out of range, then mask zero-length chunks to
+                # NaN — the empty-chunk mean np.array_split would give.
+                sums = np.add.reduceat(flat, np.minimum(starts, total - 1))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    feats = np.where(
+                        chunk_lens > 0, sums / np.maximum(chunk_lens, 1), np.nan
+                    ).reshape(n, feat_dim)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "kind": kinds,

@@ -56,6 +56,9 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
     scales with the executor count.
     """
     n = cfg.shingle_size
+    # one score row per distinct pair, whatever the caller sends: the
+    # left-join back (soft is distinct) must never multiply rows
+    surface_pairs = surface_pairs.select("left_norm", "right_norm").distinct()
     soft = soft_tfidf_feature(surface_pairs, cfg)
     surface_pairs = surface_pairs.repartition(
         2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
@@ -89,16 +92,23 @@ def soft_tfidf_feature(
     its per-worker memo covers the whole vocabulary; above it the
     relational kernel (:func:`soft_tfidf_scores`) takes over, whose JW
     work is one call per distinct token pair corpus-wide regardless of
-    partitioning. Both produce identical scores (parity-pinned)."""
-    n_pairs = surface_pairs.count()
-    if n_pairs < cfg.soft_relational_min_pairs:
-        udf = make_soft_tfidf_udf(surface_pairs, theta=cfg.soft_theta)
-        return surface_pairs.select(
+    partitioning. Both produce identical scores (parity-pinned).
+
+    Both branches score DISTINCT pairs (one row per (left, right)):
+    callers left-join the result back, so a duplicated input row must
+    not yield a duplicated score row. The strategy probe is a BOUNDED
+    count — ``limit(gate+1).count()`` answers "are there at least
+    ``gate`` distinct pairs" without scanning past the gate."""
+    pairs = surface_pairs.select("left_norm", "right_norm").distinct()
+    gate = cfg.soft_relational_min_pairs
+    if pairs.limit(gate + 1).count() < gate:
+        udf = make_soft_tfidf_udf(pairs, theta=cfg.soft_theta)
+        return pairs.select(
             "left_norm",
             "right_norm",
             udf(F.col("left_norm"), F.col("right_norm")).alias("name_soft"),
         )
-    return soft_tfidf_scores(surface_pairs, theta=cfg.soft_theta)
+    return soft_tfidf_scores(pairs, theta=cfg.soft_theta)
 
 
 def soft_tfidf_scores(
