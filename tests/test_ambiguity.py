@@ -161,3 +161,42 @@ def test_second_pass_local_matches_distributed(spark):
     assert fast == slow
     assert m_fast == m_slow
     assert m_fast["f1"] >= 0.99, m_fast
+
+
+def test_parenthetical_definition_mining(spark):
+    """R10 pattern mining: an acronym whose long form appears ONLY
+    parenthetically — lowercase, never a standalone capitalized-run
+    mention — must still resolve to the definition (VERDICT r3 missing
+    item #1; MentionExpansion.java:961-1066). Also covers the
+    function-word step-over ('United States of America' → USA) and the
+    ACR-(full form) orientation."""
+    from pyspark.sql import Row
+
+    from wned_spark.operators.mentions import (
+        extract_mentions,
+        mine_parenthetical_definitions,
+        resolve_coref,
+    )
+
+    rows = [
+        Row(conv_id="c1", turn_idx=0,
+            text="We pay via the automated clearing house (ACH) rails."),
+        Row(conv_id="c1", turn_idx=1, text="ACH fees went up again."),
+        Row(conv_id="c2", turn_idx=0,
+            text="USA (United States of America) delegates arrived."),
+        Row(conv_id="c2", turn_idx=1, text="Then USA signed the pact."),
+        # no pattern: parens with no acronym relation
+        Row(conv_id="c3", turn_idx=0, text="Rates (see appendix) vary."),
+    ]
+    t = spark.createDataFrame(rows)
+    mined = mine_parenthetical_definitions(t)
+    got = {(r["conv_id"], r["acr"]): r["definition"] for r in mined.collect()}
+    assert got[("c1", "ach")] == "automated clearing house"
+    assert got[("c2", "usa")] == "united states of america"
+    assert not any(k[0] == "c3" for k in got)
+
+    m = resolve_coref(extract_mentions(t))
+    out = expand_abbreviations(m, pattern_defs=mined)
+    canon = {(r["conv_id"], r["surface"]): r["canon_norm"] for r in out.collect()}
+    assert canon[("c1", "ACH")] == "automated clearing house"
+    assert canon[("c2", "USA")] == "united states of america"

@@ -135,6 +135,11 @@ class ERConfig:
     use_abbrev_expansion: bool = True
     # fuzzy abbrevSim fallback gate (MentionExpansion.java:48)
     abbrev_threshold: float = 0.3
+    # mine 'full form (ACR)' / 'ACR (full form)' definition patterns
+    # from turn text (MentionExpansion.java:961-1066) — catches long
+    # forms that never recur as standalone mentions (e.g. lowercase
+    # "automated clearing house (ACH)")
+    use_pattern_defs: bool = True
     # conversation-signature argmax for mentions of surfaces with >1
     # candidate entity (ELUtils.java:59-94 document signatures)
     use_second_pass: bool = True

@@ -75,9 +75,112 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
 
 _ACRONYM_RE = r"^[A-Z]{2,5}$"
 
+# ---- R10 parenthetical definition mining -------------------------------
+# MentionExpansion.java:961-1066 mines definitions from in-text patterns
+# the mention dictionary cannot see — most importantly LOWERCASE long
+# forms ("automated clearing house (ACH)") that the capitalized-run
+# extractor never emits as mentions.
+_PAREN_GROUP_RE = re.compile(r"\(([^()]{1,80})\)")
+_ACR_TOKEN_RE = re.compile(_ACRONYM_RE)
+_WORD_RE = re.compile(r"[A-Za-z][A-Za-z\.]*")
+# function words the reference's token scan steps over when checking
+# whether a window's initials spell the acronym ("United States of
+# America" → USA)
+_DEF_STOP = frozenset(
+    {"a", "an", "and", "at", "for", "in", "of", "on", "the", "to"}
+)
+
+
+def _initials(toks) -> str:
+    return "".join(t[0].lower() for t in toks)
+
+
+def _spells(win, acr: str) -> bool:
+    """Does the token window spell the (lowercased) acronym — exactly,
+    or after stepping over interior function words?"""
+    if _initials(win) == acr:
+        return True
+    core = [t for t in win if t.lower() not in _DEF_STOP]
+    return (
+        len(core) == len(acr)
+        and bool(core)
+        and win[0].lower() not in _DEF_STOP
+        and win[-1].lower() not in _DEF_STOP
+        and _initials(core) == acr
+    )
+
+
+def _mine_one(text: str):
+    out = []
+    for m in _PAREN_GROUP_RE.finditer(text):
+        inner = m.group(1).strip()
+        before = _WORD_RE.findall(text[: m.start()])
+        if _ACR_TOKEN_RE.match(inner):
+            # "full form (ACR)": backward token scan from the paren
+            acr = inner.lower()
+            k = len(acr)
+            for extra in range(3):
+                if k + extra > len(before):
+                    break
+                win = before[-(k + extra):]
+                if _spells(win, acr):
+                    out.append({"acr": inner, "definition": " ".join(win)})
+                    break
+        elif before and _ACR_TOKEN_RE.match(before[-1]):
+            # "ACR (full form)": forward scan inside the paren
+            inner_toks = _WORD_RE.findall(inner)
+            acr = before[-1].lower()
+            k = len(acr)
+            if len(inner_toks) < 2:
+                continue
+            for extra in range(3):
+                if k + extra > len(inner_toks):
+                    break
+                win = inner_toks[: k + extra]
+                if _spells(win, acr):
+                    out.append({"acr": before[-1], "definition": " ".join(win)})
+                    break
+    return out
+
+
+_DEF_STRUCT = T.ArrayType(
+    T.StructType([
+        T.StructField("acr", T.StringType()),
+        T.StructField("definition", T.StringType()),
+    ])
+)
+
+
+@F.pandas_udf(_DEF_STRUCT)
+def _mine_defs_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([
+        _mine_one(t) if isinstance(t, str) else [] for t in texts
+    ])
+
+
+def mine_parenthetical_definitions(transcripts: DataFrame) -> DataFrame:
+    """R10 pattern mining (MentionExpansion.java:961-1066): emit
+    (conv_id, acr, definition) rows for ``full form (ACR)`` and
+    ``ACR (full form)`` patterns in turn text; the window's initials
+    must spell the acronym (function words stepped over). Definitions
+    are normalized into canon space so :func:`expand_abbreviations` can
+    union them straight into its dictionary — this is how an acronym
+    resolves when its long form appears ONLY parenthetically and never
+    as a standalone mention."""
+    rows = transcripts.select(
+        "conv_id", F.explode(_mine_defs_udf(F.col("text"))).alias("d")
+    )
+    return rows.select(
+        "conv_id",
+        F.lower("d.acr").alias("acr"),
+        norm_surface(F.col("d.definition")).alias("definition"),
+    ).distinct()
+
 
 def expand_abbreviations(
-    mentions: DataFrame, abbrev_threshold: float = 0.3
+    mentions: DataFrame,
+    abbrev_threshold: float = 0.3,
+    pattern_defs: DataFrame | None = None,
 ) -> DataFrame:
     """W8/R10: doc-local abbreviation definition choice
     (``cs/MentionExpansion.java:126-158,961-1066,1128-1219``): an
@@ -97,7 +200,12 @@ def expand_abbreviations(
     Fully relational: distinct (conv, acronym) ⋈ distinct (conv,
     expansion-candidate) — both sides are per-conversation surface
     dictionaries (5-10 rows), never mention occurrences; the fuzzy
-    fallback only runs on the exact-miss remainder."""
+    fallback only runs on the exact-miss remainder.
+
+    ``pattern_defs`` (from :func:`mine_parenthetical_definitions`) are
+    unioned into the definition dictionary, so a long form introduced
+    only parenthetically — never extracted as a mention — still wins
+    the same longest-definition choice."""
     from pyspark.sql import Window
 
     from wned_spark.functions.similarity import abbrev_sim_udf
@@ -123,6 +231,10 @@ def expand_abbreviations(
             ).alias("acr"),
         )
     )
+    if pattern_defs is not None:
+        defs = defs.unionByName(
+            pattern_defs.select("conv_id", "definition", "acr")
+        ).distinct()
     w = Window.partitionBy("conv_id", "surface_norm").orderBy(
         F.desc(F.length("definition")), F.asc("definition")
     )

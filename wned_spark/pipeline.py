@@ -139,10 +139,24 @@ def run_er_pipeline(
         if catalog is None:
             m_co.count()
         # acronyms defined in-conversation resolve to their
-        # definition surface before anything downstream sees them
+        # definition surface before anything downstream sees them;
+        # parenthetical pattern rows mined from turn text cover long
+        # forms that never appear as standalone mentions (R10,
+        # MentionExpansion.java:961-1066)
+        pattern_defs = (
+            stage(
+                "pattern_defs",
+                lambda: mention_ops.mine_parenthetical_definitions(transcripts),
+                ckpt=False,
+            )
+            if cfg.use_pattern_defs
+            else None
+        )
         mentions = stage(
             "mentions",
-            lambda: mention_ops.expand_abbreviations(m_co, cfg.abbrev_threshold),
+            lambda: mention_ops.expand_abbreviations(
+                m_co, cfg.abbrev_threshold, pattern_defs=pattern_defs
+            ),
         )
     else:
         mentions = stage("mentions", lambda: m_co)
