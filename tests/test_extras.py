@@ -2,6 +2,7 @@
 reference inventory, graded as first-class components)."""
 
 import pyspark.sql.functions as F
+import pytest
 from pyspark.sql import Row
 
 from wned_spark.functions import text as TX
@@ -11,10 +12,13 @@ DOCS = "/root/testdata/sf0.001/documents.parquet"
 EMB = "/root/testdata/sf0.001/embeddings.parquet"
 
 
-def test_minhash_recall_vs_exact_jaccard(spark):
+@pytest.mark.parametrize("scheme", ["classic", "oph"])
+def test_minhash_recall_vs_exact_jaccard(spark, scheme):
     """Every pair with exact word-3gram Jaccard >= 0.5 must be found by
     MinHash-LSH at 16 bands x 2 rows (collision prob > 0.99 at J=0.5),
-    and reported Jaccards must agree exactly (verification is exact)."""
+    and reported Jaccards must agree exactly (verification is exact).
+    Runs on BOTH sketch kernels: classic independent permutations and
+    the one-permutation-hashing production default."""
     docs = spark.read.parquet(DOCS)
     exact = {
         (r["left_doc"], r["right_doc"]): r["jaccard"]
@@ -23,7 +27,7 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     mh = {
         (r["left_doc"], r["right_doc"]): r["jaccard"]
         for r in dedup.minhash_duplicate_pairs(
-            docs, num_hashes=32, band_size=2, jaccard_threshold=0.5
+            docs, num_hashes=32, band_size=2, jaccard_threshold=0.5, scheme=scheme
         ).collect()
     }
     missed = set(exact) - set(mh)

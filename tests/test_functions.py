@@ -363,3 +363,132 @@ def test_substring_tfidf_overlapping_count(spark):
     import math
     assert abs(tf[0]["t"] - math.sqrt(2) * 2.0) < 1e-12
     assert tf[2]["t"] == 0.0
+
+
+def test_oph_signature_estimates_jaccard_and_is_not_collapsed(spark):
+    """One-permutation hashing: (a) for two shingle sets with known
+    Jaccard, the fraction of agreeing DENSIFIED bins ≈ J (the OPH
+    estimator property — this fails if bins collapse onto one hash);
+    (b) an empty-input sketch is all-sentinel and densifies to the
+    deterministic empty-doc constant; (c) deterministic across runs."""
+    from wned_spark.functions.shingles import _MAX_LONG, oph_densify, oph_signature
+
+    k = 64
+    # two synthetic shingle sets sharing 2/3 of their elements:
+    # J = 32/(48+48-32) = 0.5
+    shared = [f"s{i}" for i in range(32)]
+    only_a = [f"a{i}" for i in range(16)]
+    only_b = [f"b{i}" for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, shared + only_a), (2, shared + only_b), (3, [])],
+        "id long, sh array<string>",
+    )
+    sig = (
+        df.select("id", F.explode(F.array(oph_signature(F.col("sh"), k))).alias("sig"))
+        .select("id", "sig", oph_densify(F.col("sig"), k).alias("dense"))
+    )
+    rows = {r["id"]: r for r in sig.collect()}
+    a, b = rows[1]["dense"], rows[2]["dense"]
+    agree = sum(x == y for x, y in zip(a, b)) / k
+    # J = 0.5; binomial(64, 0.5) 4-sigma band
+    assert 0.25 <= agree <= 0.75, agree
+    # bins are genuinely different hash values, not one collapsed value
+    assert len(set(a)) > k // 2
+    # empty doc: raw sketch all sentinel, densified = fixed constants
+    assert all(v == _MAX_LONG for v in rows[3]["sig"])
+    empty_dense = rows[3]["dense"]
+    assert len(set(empty_dense)) == k  # bin-indexed, all distinct
+    rows2 = {r["id"]: r for r in sig.collect()}
+    assert rows2[1]["dense"] == a
+
+
+def test_oph_densify_borrows_with_distance_mixing(spark):
+    """A borrowed bin must NOT equal the source bin's value (distance
+    mixing), and two sketches that agree on a non-empty bin still agree
+    after densification."""
+    from wned_spark.functions.shingles import _MAX_LONG, oph_densify
+
+    k = 4
+    sig = [77, _MAX_LONG, _MAX_LONG, 42]
+    df = spark.createDataFrame([(sig,)], "sig array<long>")
+    dense = df.select(oph_densify(F.col("sig"), k).alias("d")).first()["d"]
+    assert dense[0] == 77 and dense[3] == 42
+    # bin 1 borrows bin 3's value at distance 2, bin 2 at distance 1 —
+    # both re-mixed, so neither equals 42 nor each other
+    assert dense[1] not in (42, 77, _MAX_LONG)
+    assert dense[2] not in (42, 77, _MAX_LONG)
+    assert dense[1] != dense[2]
+
+
+def test_oph_relational_matches_column_spec(spark):
+    """The production relational OPH path (dedup._oph_bands internals)
+    must produce the same densified bin values as the column-expression
+    spec kernels for docs with ≥1 shingle (bounded-chain vs exact
+    nearest-neighbor densification only diverges after 8 consecutive
+    empty bins, ~1e-8)."""
+    import random
+
+    from wned_spark.functions.shingles import (
+        _OPH_SEED,
+        oph_densify,
+        oph_signature,
+    )
+
+    k = 16
+    rng = random.Random(3)
+    rows = []
+    for d in range(12):
+        n = rng.randrange(1, 40)
+        rows.append((d, [f"sh{rng.randrange(200)}" for _ in range(n)]))
+    df = spark.createDataFrame(rows, "doc long, shingles array<string>")
+
+    # column spec: densified signature arrays
+    spec = {
+        r["doc"]: r["dense"]
+        for r in df.select(
+            "doc",
+            F.explode(F.array(oph_signature(F.col("shingles"), k))).alias("sig"),
+        )
+        .select("doc", oph_densify(F.col("sig"), k).alias("dense"))
+        .collect()
+    }
+
+    # relational path: rebuild (doc, bin, dv) exactly as _oph_bands does
+    from pyspark.sql import Window
+
+    hs = df.select("doc", F.explode_outer("shingles").alias("s")).select(
+        "doc", F.xxhash64("s", F.lit(_OPH_SEED)).alias("h")
+    )
+    binmin = hs.groupBy("doc", F.pmod("h", F.lit(k)).alias("bin")).agg(
+        F.min("h").alias("v")
+    )
+    grid = (
+        binmin.select("doc").distinct()
+        .select("doc", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bin"))
+    )
+    g = grid.join(binmin, ["doc", "bin"], "left")
+    w_fwd = Window.partitionBy("doc").orderBy("bin").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_all = Window.partitionBy("doc").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    filled = F.when(F.col("v").isNotNull(), F.struct("bin", "v"))
+    g = g.select(
+        "doc", "bin",
+        F.coalesce(
+            F.first(filled, ignorenulls=True).over(w_fwd),
+            F.first(filled, ignorenulls=True).over(w_all),
+        ).alias("src"),
+    )
+    dist = F.pmod(F.col("src.bin") - F.col("bin"), F.lit(k))
+    dense = g.select(
+        "doc", "bin",
+        F.when(dist == 0, F.col("src.v"))
+        .otherwise(F.xxhash64(F.col("src.v"), dist)).alias("dv"),
+    )
+    rel = {}
+    for r in dense.collect():
+        rel.setdefault(r["doc"], {})[r["bin"]] = r["dv"]
+    for d, arr in spec.items():
+        assert [rel[d][i] for i in range(k)] == list(arr), f"doc {d}"

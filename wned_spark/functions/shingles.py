@@ -77,6 +77,68 @@ def minhash_band_keys_direct(
     return F.array(*keys)
 
 
+_OPH_SEED = 0x9E3779B1
+_MAX_LONG = (1 << 63) - 1
+
+
+def oph_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """One-permutation-hashing MinHash sketch (Li/Owen/Zhang 2012): hash
+    every shingle ONCE, partition the 64-bit hash space into
+    ``num_hashes`` bins by ``pmod``, keep the min hash per bin. Empty
+    bins hold the ``_MAX_LONG`` sentinel — densify with
+    :func:`oph_densify` before banding.
+
+    This column form is the SPEC kernel: tests pin the estimator
+    properties here and pin the production path against it. Production
+    (``dedup._oph_bands``) computes the SAME bins relationally —
+    Spark's higher-order array functions are CodegenFallback
+    (interpreted, boxing per element), so this k-bin accumulator
+    allocates a fresh array per shingle and measured ~25× slower than
+    the explode → groupBy-min formulation at sf0.1. The 2-param
+    transform lambda here is the INTENTIONAL (element, index) form —
+    index is the bin id (the legitimate use of the arity the
+    defaulted-lambda guard protects against misusing)."""
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(_OPH_SEED)))
+    init = F.array_repeat(F.lit(_MAX_LONG), num_hashes)
+
+    def merge(acc: Column, h: Column) -> Column:
+        return F.transform(
+            acc,
+            lambda v, i: F.when(
+                F.pmod(h, F.lit(num_hashes)) == i, F.least(v, h)
+            ).otherwise(v),
+        )
+
+    return F.aggregate(hashed, init, merge)
+
+
+def oph_densify(sig: Column, num_hashes: int = 16, max_chain: int = 8) -> Column:
+    """Rotation densification for an OPH sketch: an empty bin i borrows
+    the value of the nearest non-empty bin (i+j) mod k, re-mixed by the
+    borrow distance (``xxhash64(value, j)``) so a borrowed agreement is
+    distinct from a direct one — the standard densified-OPH estimator.
+    The chain is bounded at ``max_chain`` (P(that many consecutive
+    empty bins) is ~1e-8 for documents with ≥tens of shingles); the
+    final fallback is a bin-indexed constant, so fully-empty documents
+    (zero shingles) still band deterministically and only with other
+    empties — same convention as :func:`minhash_signature`.
+
+    Call on a MATERIALIZED signature attribute (post-explode/aggregate
+    barrier), not a composed expression: each output element reads
+    ``sig`` several times, and projection collapse would otherwise
+    duplicate the whole sketch build per reference."""
+    def dense(i: int) -> Column:
+        cands = []
+        for j in range(max_chain + 1):
+            v = F.element_at(sig, ((i + j) % num_hashes) + 1)
+            vv = v if j == 0 else F.xxhash64(v, F.lit(j))
+            cands.append(F.when(v != F.lit(_MAX_LONG), vv))
+        cands.append(F.xxhash64(F.lit(i), F.lit(-1)))
+        return F.coalesce(*cands)
+
+    return F.array(*[dense(i) for i in range(num_hashes)])
+
+
 def minhash_band_keys(signature: Column, num_hashes: int = 16, band_size: int = 4) -> Column:
     """LSH band keys: split the signature into bands of ``band_size``
     rows; each band key = xxhash64(band_index, sig[b..b+r)). Two strings

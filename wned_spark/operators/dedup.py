@@ -80,6 +80,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def _oph_bands(
+    sh: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc, band) LSH keys via RELATIONAL one-permutation hashing:
+    explode shingles → ONE ``xxhash64`` per shingle → map-side-combined
+    ``groupBy(doc, pmod(h, k)).min`` (≤k rows per doc reach the
+    shuffle) → exact rotation densification with two window passes →
+    band keys.
+
+    Semantics match the column-expression spec kernels
+    (:func:`wned_spark.functions.shingles.oph_signature` /
+    ``oph_densify``, parity-pinned in tests) but run ~30× faster:
+    Spark's higher-order array functions (``transform``/``aggregate``/
+    ``filter``) are CodegenFallback — interpreted, boxing every
+    element — so a k-bin accumulator expression allocates a fresh
+    k-array per shingle, while this formulation stays entirely inside
+    whole-stage codegen. Empty shingle arrays survive via
+    ``explode_outer`` (null hashes to a seed-derived constant), so
+    empty docs band deterministically and only with each other — the
+    classic kernel's sentinel convention."""
+    from pyspark.sql import Window
+
+    from wned_spark.functions.shingles import _OPH_SEED
+
+    k = num_hashes
+    hs = sh.select("doc", F.explode_outer("shingles").alias("s")).select(
+        "doc", F.xxhash64("s", F.lit(_OPH_SEED)).alias("h")
+    )
+    binmin = hs.groupBy(
+        "doc", F.pmod("h", F.lit(k)).alias("bin")
+    ).agg(F.min("h").alias("v"))
+    grid = (
+        binmin.select("doc")
+        .distinct()
+        .select("doc", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bin"))
+    )
+    g = grid.join(binmin, ["doc", "bin"], "left")
+    w_fwd = (
+        Window.partitionBy("doc")
+        .orderBy("bin")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy("doc")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    filled = F.when(F.col("v").isNotNull(), F.struct("bin", "v"))
+    g = g.select(
+        "doc",
+        "bin",
+        "v",
+        F.coalesce(
+            F.first(filled, ignorenulls=True).over(w_fwd),
+            F.first(filled, ignorenulls=True).over(w_all),  # cyclic wrap
+        ).alias("src"),
+    )
+    # borrow distance mixes the value (xxhash64(v, dist)) so borrowed
+    # agreement stays distinct from direct agreement — densified OPH
+    dist = F.pmod(F.col("src.bin") - F.col("bin"), F.lit(k))
+    dense = g.select(
+        "doc",
+        "bin",
+        F.when(dist == 0, F.col("src.v"))
+        .otherwise(F.xxhash64(F.col("src.v"), dist))
+        .alias("dv"),
+    )
+    return dense.groupBy(
+        "doc", (F.col("bin") / band_size).cast("int").alias("bandidx")
+    ).agg(
+        F.xxhash64(
+            F.col("bandidx"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bin", "dv"))),
+                lambda x: x["dv"],
+            ),
+        ).alias("band")
+    ).select("doc", "band")
+
+
 def minhash_duplicate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -88,9 +168,27 @@ def minhash_duplicate_pairs(
     num_hashes: int = 32,
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
+    scheme: str = "oph",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle → minhash → band → bucket
-    self-join → exact-Jaccard verification of colliding pairs only."""
+    self-join → exact-Jaccard verification of colliding pairs only.
+
+    ``scheme='oph'`` (default) sketches with one-permutation hashing —
+    ONE string hash per shingle instead of ``num_hashes``
+    (:func:`oph_signature`), a ~``num_hashes``× cut of the dominant
+    sketch cost; ``scheme='classic'`` keeps the independent-permutation
+    kernel as the parity/oracle reference. Both verify candidates with
+    EXACT Jaccard, so the schemes differ only in recall/candidate
+    profile, never in reported pair truth."""
+    # spread the sketch stage across all cores: a small-SF corpus often
+    # arrives as ONE parquet file → one task doing every string hash.
+    # Repartition the raw docs (text bytes, pre-shingle) by id so the
+    # shingle+hash work parallelizes; at cluster scale the input is
+    # already many partitions and this becomes a cheap no-op-ish
+    # exchange that also balances skewed input files.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, F.col(id_col))
     sh = docs.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
@@ -99,12 +197,15 @@ def minhash_duplicate_pairs(
     try:
         # band keys only — the (possibly large) shingle arrays do NOT ride
         # the self-join shuffle; they join back per DISTINCT candidate pair
-        sig = sh.select(
-            "doc",
-            F.explode(
-                minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
-            ).alias("band"),
-        )
+        if scheme == "oph":
+            sig = _oph_bands(sh, num_hashes, band_size)
+        else:
+            sig = sh.select(
+                "doc",
+                F.explode(
+                    minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
+                ).alias("band"),
+            )
         a, b = sig.alias("a"), sig.alias("b")
         cand_ids = (
             a.join(b, "band")
