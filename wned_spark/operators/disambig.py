@@ -67,12 +67,14 @@ def second_pass_overrides(
     edges: DataFrame,
     surface_clusters: DataFrame,
     cfg: ERConfig = ERConfig(),
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(mention_id, cluster_id) overrides for mentions of ambiguous
     surfaces. Mentions with no resolvable signal (no confident
     co-mentions in the conversation, or no representative signature
     overlap) are left out — callers coalesce with the first-pass
-    assignment."""
+    assignment. ``n_edges`` lets the caller reuse an already-computed
+    edge count (the strategy probe is otherwise one more serial job)."""
     key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
     m = mentions.select(
         "mention_id",
@@ -92,7 +94,8 @@ def second_pass_overrides(
             )
         reps = entity_rep_surfaces(cands, amb).persist()
         out = _second_pass_body(
-            m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg
+            m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg,
+            n_edges=n_edges,
         )
         # materialize the (tiny — one row per re-pointed mention)
         # override table before the finally releases the caches it
@@ -198,7 +201,9 @@ def _second_pass_best_local(spark, edges, pref_tbl, trial_tbl, cfg):
     return spark.createDataFrame(rows, "conv_id string, sid long, rep_sid long")
 
 
-def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg):
+def _second_pass_body(
+    m, amb, amb_mentions, reps, cands, edges, surface_clusters, cfg, n_edges=None
+):
     # conversations that need a signature
     convs = amb_mentions.select("conv_id").distinct()
     # confident co-mentions: non-ambiguous surfaces in those conversations
@@ -212,7 +217,8 @@ def _second_pass_body(m, amb, amb_mentions, reps, cands, edges, surface_clusters
         F.xxhash64("conv_id").alias("seed"), F.col("sid").alias("node"), F.lit(1.0).alias("w")
     )
 
-    n_edges = edges.count()
+    if n_edges is None:
+        n_edges = edges.count()
 
     # DRIVER FAST PATH: the ambiguous slice is usually dictionary-sized
     # (tens of conversations × a handful of surfaces), yet the

@@ -59,7 +59,7 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
     # one score row per distinct pair, whatever the caller sends: the
     # left-join back (soft is distinct) must never multiply rows
     surface_pairs = surface_pairs.select("left_norm", "right_norm").distinct()
-    soft = soft_tfidf_feature(surface_pairs, cfg)
+    soft = soft_tfidf_feature(surface_pairs, cfg, assume_distinct=True)
     surface_pairs = surface_pairs.repartition(
         2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
     )
@@ -83,7 +83,9 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
 
 
 def soft_tfidf_feature(
-    surface_pairs: DataFrame, cfg: ERConfig = ERConfig()
+    surface_pairs: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Size-gated SoftTFIDF strategy (same decision shape as
     ``connected_components_auto``): below
@@ -98,8 +100,14 @@ def soft_tfidf_feature(
     callers left-join the result back, so a duplicated input row must
     not yield a duplicated score row. The strategy probe is a BOUNDED
     count — ``limit(gate+1).count()`` answers "are there at least
-    ``gate`` distinct pairs" without scanning past the gate."""
-    pairs = surface_pairs.select("left_norm", "right_norm").distinct()
+    ``gate`` distinct pairs" without scanning past the gate.
+    ``assume_distinct=True`` skips the dedup pass when the caller
+    already guarantees one row per pair (score_surface_pairs does)."""
+    pairs = (
+        surface_pairs
+        if assume_distinct
+        else surface_pairs.select("left_norm", "right_norm").distinct()
+    )
     gate = cfg.soft_relational_min_pairs
     if pairs.limit(gate + 1).count() < gate:
         udf = make_soft_tfidf_udf(pairs, theta=cfg.soft_theta)
@@ -108,11 +116,11 @@ def soft_tfidf_feature(
             "right_norm",
             udf(F.col("left_norm"), F.col("right_norm")).alias("name_soft"),
         )
-    return soft_tfidf_scores(pairs, theta=cfg.soft_theta)
+    return soft_tfidf_scores(pairs, theta=cfg.soft_theta, assume_distinct=True)
 
 
 def soft_tfidf_scores(
-    surface_pairs: DataFrame, theta: float = 0.90
+    surface_pairs: DataFrame, theta: float = 0.90, assume_distinct: bool = False
 ) -> DataFrame:
     """Relational SoftTFIDF over (left_norm, right_norm) pairs →
     (left_norm, right_norm, name_soft).
@@ -135,7 +143,11 @@ def soft_tfidf_scores(
     joins/groupBys that Catalyst plans and AQE sizes. Also removes the
     old bounded driver vocabulary pull — idf stays distributed.
     """
-    sp = surface_pairs.select("left_norm", "right_norm").distinct()
+    sp = (
+        surface_pairs
+        if assume_distinct
+        else surface_pairs.select("left_norm", "right_norm").distinct()
+    )
     surfaces = (
         sp.select(F.col("left_norm").alias("s"))
         .union(sp.select(F.col("right_norm").alias("s")))

@@ -161,6 +161,31 @@ def run_er_pipeline(
     else:
         mentions = stage("mentions", lambda: m_co)
 
+    # ---- CONCURRENT independent hub chains ----
+    # cooccur_edges and the surfaces→surface_pairs→surface_features
+    # chain both depend only on the mentions hub. Hub stages execute
+    # their shuffles at construction (AQE + lazy localCheckpoint), so
+    # building them on one driver thread serializes two independent
+    # jobs — submit the edge build on a worker thread and join before
+    # the signature stage needs it. Spark job submission is
+    # thread-safe; catalog mode stays sequential (snapshot ordering).
+    edges = None
+    edges_fut = _edges_pool = None
+    if use_signatures:
+        if catalog is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _edges_pool = ThreadPoolExecutor(max_workers=1)
+            edges_fut = _edges_pool.submit(
+                stage,
+                "cooccur_edges",
+                lambda: graph.build_cooccurrence_edges(mentions, cfg),
+            )
+        else:
+            edges = stage(
+                "cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg)
+            )
+
     # ---- distinct surfaces + blocked surface pairs (J2) ----
     surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
     pairs = stage(
@@ -194,8 +219,15 @@ def run_er_pipeline(
     # feature-joined DataFrame would embed the other feature's whole
     # subplan in its lineage (left joins are not prunable) and compute
     # it twice.
+    n_edges = None
     if use_signatures:
-        edges = stage("cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg))
+        if edges_fut is not None:
+            edges = edges_fut.result()
+            _edges_pool.shutdown()
+        # the edge count gates THREE strategy choices (signature kernel,
+        # second-pass kernel, and the fast-path collect) — one probe job
+        # on the materialized hub, reused everywhere
+        n_edges = edges.count()
 
         def _sigs():
             seeds = (
@@ -203,7 +235,7 @@ def run_er_pipeline(
                 .union(gated.select(F.col("right_sid").alias("seed")))
                 .distinct()
             )
-            if edges.count() <= cfg.ppr_broadcast_max_edges:
+            if n_edges <= cfg.ppr_broadcast_max_edges:
                 return ppr.personalized_pagerank_broadcast(
                     seeds, edges, cfg, max_degree=cfg.ppr_max_degree
                 )
@@ -339,7 +371,7 @@ def run_er_pipeline(
         overrides = stage(
             "ambiguity_overrides",
             lambda: disambig.second_pass_overrides(
-                mentions, cands, edges, surface_clusters, cfg
+                mentions, cands, edges, surface_clusters, cfg, n_edges=n_edges
             ),
         )
 
