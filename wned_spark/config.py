@@ -105,6 +105,13 @@ class ERConfig:
     # CSUtils.java:53-78, strengthened to SoftTFIDF)
     soft_theta: float = 0.90
     soft_gate: float = 0.85
+    # cascade-gate OR-arm on dictionary evidence: a pair whose surfaces
+    # both alias the same entity with min-side prior >= prior_gate is
+    # admitted to scoring even below the soft gate (the reference's
+    # exact-lookup path links "Acme Group"/"Acme International" through
+    # the dictionary with no string-similarity precondition). Admission
+    # only — the final match rule still decides.
+    prior_gate: float = 0.30
     # SoftTFIDF strategy gate: distinct surface pairs below this run
     # the single-map-stage Arrow-UDF kernel (per-worker memo covers a
     # dictionary-sized vocabulary); at or above it the relational

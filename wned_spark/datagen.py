@@ -159,13 +159,24 @@ def build_entities(n_entities: int, seed: int = 42) -> pd.DataFrame:
 
 
 def build_alias_rows(
-    entities: pd.DataFrame, seed: int = 42, ambiguity_rate: float = 0.0
+    entities: pd.DataFrame,
+    seed: int = 42,
+    ambiguity_rate: float = 0.0,
+    misspell_boost: int = 1,
+    hot_token_rate: float = 0.0,
 ) -> pd.DataFrame:
     """F3 precursor: alias variants per entity with sampled frequencies.
 
     Sources mirror KBExtractor.java:119-161; the ambiguous acronym
     plays the role of a 'disambig' alias (one surface, many entities).
-    """
+
+    Adversarial-regime knobs (round-3 verdict item 6):
+    ``misspell_boost`` multiplies the draw frequency of the two
+    misspelled variants, making fuzzy blocking + JW/SoftTFIDF
+    load-bearing rather than incidental; ``hot_token_rate`` gives that
+    fraction of entities an extra alias ending in the SAME Zipf-hot
+    token ("<surname> International"), planting hot blocking keys that
+    salting must split and IDF weighting must down-rank."""
     rows: list[AliasRow] = []
     for eid, name, etype in entities[["entity_id", "name", "type"]].itertuples(index=False):
         rng = random.Random((seed << 21) ^ eid)
@@ -181,10 +192,13 @@ def build_alias_rows(
         # misspellings (edit distance 1-2), 'link' source
         rows.append(AliasRow(
             eid, name.replace(surname, _swap_chars(surname, rng.randrange(2, 7))),
-            "link", 2 + rng.randrange(5)))
+            "link", (2 + rng.randrange(5)) * misspell_boost))
         rows.append(AliasRow(
             eid, name.replace(surname, _drop_char(surname, rng.randrange(2, 7))),
-            "link", 1 + rng.randrange(4)))
+            "link", (1 + rng.randrange(4)) * misspell_boost))
+        if rng.random() < hot_token_rate:
+            rows.append(AliasRow(eid, f"{surname} International", "link",
+                                 8 + rng.randrange(10)))
         if rng.random() < ambiguity_rate:
             acro = "".join(p[0] for p in parts).upper()
             # 2-letter acronyms collide across entities by construction.
@@ -203,6 +217,8 @@ def _gen_conversation(
     n_entities: int,
     community_size: int,
     turns_per_conv: int,
+    name_lookup: dict[int, str] | None = None,
+    paren_def_rate: float = 0.0,
 ):
     """Generate one conversation; returns (turn_rows, gold_rows).
 
@@ -210,6 +226,13 @@ def _gen_conversation(
     entity's co-occurrence neighborhood is stable across conversations —
     this is the signal the PPR semantic signature exploits, mirroring the
     reference's co-occurrence graph (WikiGraphExtractor.java:63-85).
+
+    ``paren_def_rate`` (adversarial regime): with this probability the
+    conversation introduces one cast entity ONLY as an acronym defined
+    by a lowercase parenthetical — "note: the kelbar systems (KS) case
+    is ongoing" — and every later mention of that entity uses the bare
+    acronym. The long form never appears as a capitalized mention, so
+    resolution depends entirely on the R10 pattern miner.
     """
     rng = random.Random((seed << 22) ^ conv_index)
     conv_id = f"conv-{conv_index:08d}"
@@ -219,10 +242,27 @@ def _gen_conversation(
     pool = list(range(lo, min(lo + community_size, n_entities)))
     cast = rng.sample(pool, min(len(pool), rng.randrange(3, 6)))
 
+    paren_ent = None
+    paren_acro = ""
+    if name_lookup is not None and paren_def_rate > 0 and rng.random() < paren_def_rate:
+        paren_ent = rng.choice(cast)
+        pname = name_lookup[paren_ent]
+        paren_acro = "".join(w[0] for w in pname.split()).upper()
+
     turn_rows, gold_rows = [], []
     for t in range(turns_per_conv):
         role = _ROLES[t % 3]
         tool = rng.choice(_TOOLS) if role == "tool" else None
+        if paren_ent is not None and t == 0:
+            pname = name_lookup[paren_ent]
+            head = f"note: the {pname.lower()} ("
+            text = f"{head}{paren_acro}) case is ongoing"
+            gold_rows.append(
+                (conv_id, 0, paren_acro, len(head), len(head) + len(paren_acro), paren_ent)
+            )
+            ts = _BASE_TS + timedelta(seconds=conv_index * 3600 + t * 30)
+            turn_rows.append((conv_id, t, role, text, tool, ts))
+            continue
         draw = rng.random()
         if draw < 0.15:
             text = rng.choice(_TEMPLATES_0)
@@ -243,16 +283,20 @@ def _gen_conversation(
                 pos += len(piece)
                 if i < len(mentions_here) and i < len(pieces) - 1:
                     eid = mentions_here[i]
-                    aliases = alias_lookup[eid]
-                    total = sum(f for _, f in aliases)
-                    pick = rng.randrange(total)
-                    acc = 0
-                    surface = aliases[0][0]
-                    for a, f in aliases:
-                        acc += f
-                        if pick < acc:
-                            surface = a
-                            break
+                    if eid == paren_ent:
+                        # paren-defined entity appears ONLY as its acronym
+                        surface = paren_acro
+                    else:
+                        aliases = alias_lookup[eid]
+                        total = sum(f for _, f in aliases)
+                        pick = rng.randrange(total)
+                        acc = 0
+                        surface = aliases[0][0]
+                        for a, f in aliases:
+                            acc += f
+                            if pick < acc:
+                                surface = a
+                                break
                     out.append(surface)
                     gold_rows.append((conv_id, t, surface, pos, pos + len(surface), eid))
                     pos += len(surface)
@@ -270,25 +314,46 @@ def generate_corpus(
     community_size: int = 8,
     seed: int = 42,
     ambiguity_rate: float = 0.0,
+    misspell_boost: int = 1,
+    paren_def_rate: float = 0.0,
+    hot_token_rate: float = 0.0,
 ) -> dict[str, DataFrame]:
     """Generate the full fixture set: transcripts, entities, alias_dict,
     gold_mentions. Distributed + deterministic (per-conversation seeds).
+
+    The three adversarial knobs (``misspell_boost`` /
+    ``paren_def_rate`` / ``hot_token_rate``) compose freely with the
+    clean regime — see :func:`build_alias_rows` and
+    :func:`_gen_conversation`.
     """
     entities_pdf = build_entities(n_entities, seed)
-    alias_pdf = build_alias_rows(entities_pdf, seed, ambiguity_rate)
+    alias_pdf = build_alias_rows(
+        entities_pdf, seed, ambiguity_rate,
+        misspell_boost=misspell_boost, hot_token_rate=hot_token_rate,
+    )
     alias_lookup: dict[int, list[tuple[str, int]]] = {}
     for eid, alias, _src, freq in alias_pdf[["entity_id", "alias", "source", "freq"]].itertuples(index=False):
         alias_lookup.setdefault(int(eid), []).append((alias, int(freq)))
+    name_lookup = {
+        int(eid): str(name)
+        for eid, name in entities_pdf[["entity_id", "name"]].itertuples(index=False)
+    }
 
     sc = spark.sparkContext
-    bc = sc.broadcast((alias_lookup, n_entities, community_size, turns_per_conv, seed))
+    bc = sc.broadcast((
+        alias_lookup, n_entities, community_size, turns_per_conv, seed,
+        name_lookup, paren_def_rate,
+    ))
 
     def gen_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lookup, n_ent, comm_sz, tpc, sd = bc.value
+        lookup, n_ent, comm_sz, tpc, sd, names, pdr = bc.value
         for pdf in batches:
             turn_acc = []
             for conv_index in pdf["id"]:
-                turns, _gold = _gen_conversation(int(conv_index), sd, lookup, n_ent, comm_sz, tpc)
+                turns, _gold = _gen_conversation(
+                    int(conv_index), sd, lookup, n_ent, comm_sz, tpc,
+                    name_lookup=names, paren_def_rate=pdr,
+                )
                 turn_acc.extend(turns)
             if turn_acc:
                 yield pd.DataFrame(
@@ -296,11 +361,14 @@ def generate_corpus(
                 )
 
     def gen_gold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lookup, n_ent, comm_sz, tpc, sd = bc.value
+        lookup, n_ent, comm_sz, tpc, sd, names, pdr = bc.value
         for pdf in batches:
             gold_acc = []
             for conv_index in pdf["id"]:
-                _turns, gold = _gen_conversation(int(conv_index), sd, lookup, n_ent, comm_sz, tpc)
+                _turns, gold = _gen_conversation(
+                    int(conv_index), sd, lookup, n_ent, comm_sz, tpc,
+                    name_lookup=names, paren_def_rate=pdr,
+                )
                 gold_acc.extend(gold)
             if gold_acc:
                 yield pd.DataFrame(

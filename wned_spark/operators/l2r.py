@@ -149,6 +149,63 @@ def score_with_model(features: DataFrame, model, cfg: ERConfig = ERConfig()) -> 
     )
 
 
+def train_nil_head(
+    training: DataFrame,
+    feature_cols: list[str] | None = None,
+    max_iter: int = 50,
+):
+    """N6: the reference's NIL predictor recast
+    (``disambiguation/NILPredictor.java:24-62``: a libsvm BINARY
+    classifier over the 4-feature family deciding whether the top
+    candidate should be REJECTED). In the pair formulation the same
+    decision is "is this scored pair a real match": a logistic head
+    over the pair features whose P(match) ≥ 0.5 boundary replaces the
+    fixed ``match_threshold`` when a fitted head is passed to
+    ``run_er_pipeline(nil_model=...)``.
+
+    Ablation note: on the clean synthetic regime the trained boundary
+    and the hand threshold agree (both pass the F1 ≥ 0.99 gate — the
+    features separate cleanly, as NILPredictor's do on Wikipedia);
+    the trained form exists for reference parity and for corpora where
+    the margin between match and non-match shifts. The reference ships
+    NIL off by default (``el.config:28``) — so does the rebuild
+    (``nil_model=None``).
+
+    Determinism: LBFGS over a fixed dataset; decisions (not raw
+    coefficients) are pinned by test."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or [c for c in FEATURE_COLS if c in training.columns]
+    assembler = VectorAssembler(inputCols=cols, outputCol="fvec")
+    lr = LogisticRegression(
+        featuresCol="fvec", labelCol="label", maxIter=max_iter, standardization=True
+    )
+    return Pipeline(stages=[assembler, lr]).fit(training)
+
+
+def apply_nil_head(scored: DataFrame, model) -> DataFrame:
+    """Filter scored pairs through the NIL head: keep rows the head
+    accepts (P(match) ≥ 0.5). Missing/absent feature columns fill with
+    0.0 — the training-time convention."""
+    from pyspark.ml.functions import vector_to_array
+
+    cols = model.stages[0].getInputCols()
+    filled = scored
+    for c in cols:
+        if c in filled.columns:
+            filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+        else:
+            filled = filled.withColumn(c, F.lit(0.0))
+    out = model.transform(filled).withColumn(
+        "nil_p", vector_to_array("probability")[1]
+    )
+    return out.filter(F.col("nil_p") >= 0.5).drop(
+        "fvec", "rawPrediction", "probability", "prediction", "nil_p"
+    ).select(*scored.columns)
+
+
 def train_l2r_from_gold(
     spark,
     transcripts: DataFrame,

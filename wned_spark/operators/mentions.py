@@ -231,12 +231,25 @@ def expand_abbreviations(
             ).alias("acr"),
         )
     )
+    # pattern-mined rows OUTRANK dictionary rows: an explicit in-text
+    # definition ("kelbar systems (KS)") is primary evidence, while a
+    # dictionary row is mere co-presence — without the priority, a
+    # same-conversation entity that happens to share the acronym's
+    # initials could win the longest-definition tiebreak
+    # (MentionExpansion.java runs its pattern scan at :961 before the
+    # dictionary fallback at :1128 in the same spirit)
+    defs = defs.withColumn("src_rank", F.lit(1))
     if pattern_defs is not None:
         defs = defs.unionByName(
-            pattern_defs.select("conv_id", "definition", "acr")
-        ).distinct()
+            pattern_defs.select("conv_id", "definition", "acr").withColumn(
+                "src_rank", F.lit(0)
+            )
+        )
+        defs = defs.groupBy("conv_id", "definition", "acr").agg(
+            F.min("src_rank").alias("src_rank")
+        )
     w = Window.partitionBy("conv_id", "surface_norm").orderBy(
-        F.desc(F.length("definition")), F.asc("definition")
+        F.asc("src_rank"), F.desc(F.length("definition")), F.asc("definition")
     )
     chosen = (
         acr.join(defs, ["conv_id", "acr"])

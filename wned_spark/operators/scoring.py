@@ -55,30 +55,42 @@ def score_surface_pairs(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) ->
     partitioning is exempt from AQE coalescing, so the UDF stage
     scales with the executor count.
     """
-    n = cfg.shingle_size
     # one score row per distinct pair, whatever the caller sends: the
     # left-join back (soft is distinct) must never multiply rows
     surface_pairs = surface_pairs.select("left_norm", "right_norm").distinct()
     soft = soft_tfidf_feature(surface_pairs, cfg, assume_distinct=True)
+    feats = string_features(surface_pairs, cfg)
+    return feats.join(soft, ["left_norm", "right_norm"], "left").na.fill(
+        {"name_soft": 0.0}
+    )
+
+
+def string_features(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
+    """R2/R3/R4/R15 per-pair string features over DISTINCT
+    (left_norm, right_norm) rows: Jaro-Winkler (the one Python-UDF
+    feature), normalized Levenshtein, multiset bigram Dice
+    (AliasLuceneIndex.java:327-329 — min-counts over non-distinct
+    bigrams, faithful on reduplicated names).
+
+    The PIPELINE calls this AFTER the SoftTFIDF cascade gate: only
+    ``name_soft`` feeds the gate, so evaluating the JW UDF on gate
+    survivors (~5% of blocked pairs at bench scale) instead of every
+    blocked pair removes ~95% of the hottest stage's Python work —
+    mirroring the reference, which scores fuzzy candidates only after
+    the candidate-selection prune (CSUtils.java:53-78)."""
+    n = cfg.shingle_size
     surface_pairs = surface_pairs.repartition(
         2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
     )
-    feats = surface_pairs.select(
+    return surface_pairs.select(
         "left_norm",
         "right_norm",
         jaro_winkler_udf(F.col("left_norm"), F.col("right_norm")).alias("name_jw"),
         levenshtein_norm(F.col("left_norm"), F.col("right_norm")).alias("name_lev"),
-        # the reference's exact multiset min-count Dice
-        # (AliasLuceneIndex.java:327-329) over non-distinct bigrams;
-        # identical to distinct-set Dice except on repeated-bigram
-        # strings (reduplicated names), where min-counts are faithful
         bigram_dice_multiset(
             char_shingles(F.col("left_norm"), n, distinct=False),
             char_shingles(F.col("right_norm"), n, distinct=False),
         ).alias("name_dice"),
-    )
-    return feats.join(soft, ["left_norm", "right_norm"], "left").na.fill(
-        {"name_soft": 0.0}
     )
 
 

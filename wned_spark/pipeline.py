@@ -70,6 +70,7 @@ def run_er_pipeline(
     use_signatures: bool = True,
     gold_mentions: DataFrame | None = None,
     ranker=None,
+    nil_model=None,
 ) -> PipelineResult:
     """Run the full ER pipeline. With a ``catalog``, every stage is a
     committed resumable snapshot; without, stages persist in memory."""
@@ -192,26 +193,84 @@ def run_er_pipeline(
         "surface_pairs", lambda: blocking.candidate_surface_pairs(surfaces, cfg)
     )
 
-    # ---- string features (R2-R4/R15 + SoftTFIDF) ----
-    feats = stage(
-        "surface_features",
-        lambda: scoring.score_surface_pairs(
-            pairs.select("left_norm", "right_norm"), cfg
+    # ---- SoftTFIDF (the gate feature) over ALL blocked pairs ----
+    soft = stage(
+        "surface_soft",
+        lambda: scoring.soft_tfidf_feature(
+            pairs.select("left_norm", "right_norm").distinct(),
+            cfg,
+            assume_distinct=True,
         ),
     )
-    feats = pairs.join(feats, ["left_norm", "right_norm"], "left")
+    feats = pairs.join(soft, ["left_norm", "right_norm"], "left").na.fill(
+        {"name_soft": 0.0}
+    )
+
+    # ---- prior feature via alias dictionary at surface level (J1/A2) ----
+    # computed BEFORE the cascade gate: in the reference, two surfaces
+    # that the alias dictionary maps to the same KB entity link through
+    # the DICTIONARY, with no string-similarity precondition at all
+    # (AliasLuceneIndex exact lookup → shared winner entity). "Acme
+    # Group" vs "Acme International" share only the head token — the
+    # soft gate alone would drop them — but the dictionary carries
+    # them. The candidate table is dictionary-sized (≤ top_k rows per
+    # surface), so this is a broadcast-scale join over blocked pairs,
+    # far cheaper than the signature stages the gate protects.
+    shared = None
+    if alias_raw is not None:
+        alias_dict = stage(
+            "alias_dict", lambda: cand_ops.build_alias_dict(alias_raw), ckpt=False
+        )
+        cands = stage(
+            "surface_candidates",
+            lambda: cand_ops.select_candidates(
+                surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
+            ),
+            ckpt=False,
+        )
+        cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
+        cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
+        shared = (
+            pairs.select("left_sid", "right_sid")
+            .join(cl, "left_sid")
+            .join(cr, ["right_sid", "entity_id"])
+            .groupBy("left_sid", "right_sid")
+            .agg(F.max(F.least("p_l", "p_r")).alias("shared_prior"))
+        )
+        feats = feats.join(shared, ["left_sid", "right_sid"], "left").na.fill(
+            {"shared_prior": 0.0}
+        )
 
     # ---- CASCADE GATE ----
-    # name_soft >= soft_gate is a hard precondition of the final match
-    # decision, so pairs below it can never produce an edge — prune
-    # them BEFORE the expensive signature/prior joins. At scale this
+    # a pair can produce a match edge only through (a) discriminative
+    # token alignment (name_soft >= soft_gate — the reference's
+    # JW >= 0.8 fuzzy-candidate gate, CSUtils.java:53-78, strengthened
+    # to SoftTFIDF) or (b) decisive dictionary evidence (shared_prior
+    # >= prior_gate — the exact-lookup path, where both surfaces alias
+    # the same entity with high prior). Everything below BOTH bars can
+    # never pass the final match rule — prune it BEFORE the expensive
+    # signature joins AND the remaining string features. At scale this
     # drops ~95% of blocked pairs, and the PPR seed set shrinks to the
-    # surfaces that still matter. (The reference gates fuzzy candidates
-    # the same way before scoring — CSUtils.java:53-78.)
-    gated = stage(
-        "gated_pairs", lambda: feats.filter(F.col("name_soft") >= cfg.soft_gate)
+    # surfaces that still matter.
+    gate_pred = F.col("name_soft") >= cfg.soft_gate
+    if shared is not None:
+        gate_pred = gate_pred | (F.col("shared_prior") >= cfg.prior_gate)
+    gated = stage("gated_pairs", lambda: feats.filter(gate_pred))
+
+    # ---- remaining string features (R2-R4/R15) on gate SURVIVORS ----
+    # only name_soft feeds the gate, so the JW UDF (the one Python
+    # feature) runs on ~5% of the blocked pairs — measured 59s → ~4s
+    # for the hottest stage at 2.7M blocked pairs on 8 cores
+    strf = stage(
+        "surface_features",
+        lambda: scoring.string_features(
+            gated.select("left_norm", "right_norm").distinct(), cfg
+        ),
+        ckpt=False,
     )
-    survivors = gated
+    survivors = gated.join(strf, ["left_norm", "right_norm"], "left").na.fill(
+        {"name_jw": 0.0, "name_lev": 0.0, "name_dice": 0.0}
+    )
 
     # ---- PPR semantic signatures (G1/G3/G5, J7/J8) ----
     # NOTE every auxiliary feature (sig_sim, shared prior) is derived
@@ -303,30 +362,8 @@ def run_er_pipeline(
             ctx_sim, ["left_sid", "right_sid"], "left"
         ).na.fill({"ctx_cosine": 0.0})
 
-    # ---- prior feature via alias dictionary at surface level (J1/A2) ----
-    if alias_raw is not None:
-        alias_dict = stage(
-            "alias_dict", lambda: cand_ops.build_alias_dict(alias_raw), ckpt=False
-        )
-        cands = stage(
-            "surface_candidates",
-            lambda: cand_ops.select_candidates(
-                surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
-            ),
-            ckpt=False,
-        )
-        cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
-        cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
-        shared = (
-            gated.select("left_sid", "right_sid")
-            .join(cl, "left_sid")
-            .join(cr, ["right_sid", "entity_id"])
-            .groupBy("left_sid", "right_sid")
-            .agg(F.max(F.least("p_l", "p_r")).alias("shared_prior"))
-        )
-        survivors = survivors.join(shared, ["left_sid", "right_sid"], "left").na.fill(
-            {"shared_prior": 0.0}
-        )
+    # (shared_prior already rides on the gated pairs — computed on all
+    # blocked pairs before the cascade gate, which it co-determines)
 
     # ---- combine + gate (R1 / N5) ----
     # with a trained ranker: GBT margin scoring (the north rule's
@@ -343,7 +380,16 @@ def run_er_pipeline(
     # ---- match edges → connected components on the surface graph (G8) ----
     def _surface_clusters():
         # (name_soft >= soft_gate already enforced by the cascade)
-        edges_m = scored.filter(F.col("score") >= cfg.match_threshold).select(
+        if nil_model is not None:
+            # N6 trained gate (NILPredictor.java:24-62 recast): the
+            # logistic head's P(match) >= 0.5 boundary replaces the
+            # fixed threshold — see l2r.train_nil_head
+            from wned_spark.operators import l2r as _l2r
+
+            kept = _l2r.apply_nil_head(scored, nil_model)
+        else:
+            kept = scored.filter(F.col("score") >= cfg.match_threshold)
+        edges_m = kept.select(
             F.col("left_sid").alias("u"), F.col("right_sid").alias("v")
         )
         comp = cc.connected_components_auto(edges_m, cfg.cc_max_iter)
