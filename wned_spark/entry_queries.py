@@ -1607,6 +1607,42 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@register(
+    "r10_pattern_defs",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS conv_id,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                          w -> lower(w[1])), '') AS acr,
+           regexp_replace(regexp_replace(
+             lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))),
+             '^(mr|mrs|ms|miss|dr|prof|gen|rep|sen|st|sr|jr|rev|fr|hon|gov|pres)\\.?\\s+', ''),
+             '\\s+(ltd|co|inc|corp|llc|plc|gmbh)\\.?$', '') AS definition
+    FROM part WHERE p_partkey <= 2000
+    """,
+)
+def r10_pattern_defs(spark, sf_dir):
+    """R10 parenthetical definition mining
+    (``MentionExpansion.java:961-1066``) under an inverse-construction
+    oracle: turn text is built as ``p_name (INITIALS)`` — the
+    ``full form (ACR)`` pattern — and the REAL miner must recover
+    exactly (acr = lowercased initials, definition = normalized
+    p_name) for every part; DuckDB computes the expected rows
+    directly. TPC-H part names are 5 lowercase words, so the backward
+    token scan's exact-initials window is exercised for every row."""
+    from wned_spark.operators.mentions import mine_parenthetical_definitions
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    initials = F.concat_ws(
+        "",
+        F.transform(F.split(F.col("p_name"), " "), lambda w: F.upper(F.substring(w, 1, 1))),
+    )
+    synth = p.select(
+        F.col("p_partkey").cast("string").alias("conv_id"),
+        F.concat(F.col("p_name"), F.lit(" ("), initials, F.lit(")")).alias("text"),
+    )
+    return mine_parenthetical_definitions(synth)
+
+
 # =====================================================================
 # ER pipeline flagship (generated transcripts; no SQL oracle — the gold
 # harness in tests/test_pipeline_e2e.py is its correctness gate)

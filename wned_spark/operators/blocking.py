@@ -123,6 +123,12 @@ def candidate_surface_pairs(
     keys = block_keys(surfaces, cfg)
     if salted:
         keys = salt_hot_keys(keys, cfg)
+    # the key table inherits the (small) surfaces hub's partitioning;
+    # without a spread, key explosion + the self-join map side run in
+    # those few tasks regardless of cluster width
+    keys = keys.repartition(
+        2 * surfaces.sparkSession.sparkContext.defaultParallelism
+    )
     keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (

@@ -160,6 +160,10 @@ def soft_tfidf_scores(
         if assume_distinct
         else surface_pairs.select("left_norm", "right_norm").distinct()
     )
+    # the token-pair expansion below is map-side over sp's partitions
+    # and multiplies rows ~tₗ·tᵣ×; a byte-sized (often AQE-coalesced)
+    # sp would run that CPU work in a handful of tasks
+    sp = sp.repartition(2 * surface_pairs.sparkSession.sparkContext.defaultParallelism)
     surfaces = (
         sp.select(F.col("left_norm").alias("s"))
         .union(sp.select(F.col("right_norm").alias("s")))
@@ -207,7 +211,12 @@ def soft_tfidf_scores(
     # numerator, so dropping sub-theta sims up front shrinks the
     # aggregated rows by ~10× without changing any score. JW is
     # symmetric, so the same sims table serves both directions.
-    tpairs = tp_l.select("tok_a", "tok_b").distinct()
+    # distinct token pairs are byte-light (~tens of bytes/row) but the
+    # JW UDF is CPU-heavy: AQE's size-based coalescing would run it in
+    # 1-4 tasks regardless of cluster width — spread it explicitly
+    tpairs = tp_l.select("tok_a", "tok_b").distinct().repartition(
+        2 * sp.sparkSession.sparkContext.defaultParallelism
+    )
     sims = tpairs.withColumn(
         "sim",
         F.when(

@@ -163,37 +163,81 @@ def run_er_pipeline(
         mentions = stage("mentions", lambda: m_co)
 
     # ---- CONCURRENT independent hub chains ----
-    # cooccur_edges and the surfaces→surface_pairs→surface_features
-    # chain both depend only on the mentions hub. Hub stages execute
-    # their shuffles at construction (AQE + lazy localCheckpoint), so
-    # building them on one driver thread serializes two independent
-    # jobs — submit the edge build on a worker thread and join before
-    # the signature stage needs it. Spark job submission is
+    # cooccur_edges, the ctx-tfidf weight table, and the alias-dict
+    # candidate chain all depend only on already-materialized hubs
+    # (mentions / surfaces) and raw inputs. Hub stages execute their
+    # shuffles at construction (AQE + lazy localCheckpoint), so
+    # building them on one driver thread serializes independent jobs —
+    # submit each on a worker thread and join the future right before
+    # first use. Inputs are materialized hubs at submit time, so no
+    # cold-lineage race (concurrent actions over a cold persist each
+    # recompute it — measured round 3). Spark job submission is
     # thread-safe; catalog mode stays sequential (snapshot ordering).
-    edges = None
-    edges_fut = _edges_pool = None
-    if use_signatures:
-        if catalog is None:
-            from concurrent.futures import ThreadPoolExecutor
+    _pool = None
+    if catalog is None:
+        from concurrent.futures import ThreadPoolExecutor
 
-            _edges_pool = ThreadPoolExecutor(max_workers=1)
-            edges_fut = _edges_pool.submit(
-                stage,
-                "cooccur_edges",
-                lambda: graph.build_cooccurrence_edges(mentions, cfg),
-            )
-        else:
-            edges = stage(
-                "cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg)
-            )
+        _pool = ThreadPoolExecutor(max_workers=3)
+
+    def _submit(name: str, fn, ckpt: bool = True):
+        """Run a stage on a worker thread (materialized on return);
+        sequential fallback in catalog mode. Returns a 0-arg resolver."""
+        if _pool is None:
+            d = stage(name, fn, ckpt=ckpt)
+            return lambda: d
+
+        def _build():
+            d = stage(name, fn, ckpt=ckpt)
+            if not ckpt:
+                d.count()  # force the persist on THIS thread
+            return d
+
+        fut = _pool.submit(_build)
+        return fut.result
+
+    edges_res = None
+    if use_signatures:
+        edges_res = _submit(
+            "cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg)
+        )
+
+    # the ctx-tfidf weight table needs only mentions + transcripts —
+    # its ~20% of pipeline compute overlaps the whole blocking chain
+    ctx_w_res = None
+    if cfg.use_ctx_feature:
+        from wned_spark.operators import tfidf as tfidf_ops
+
+        ctx_w_res = _submit(
+            "ctx_tfidf",
+            lambda: tfidf_ops.surface_context_weights(
+                mentions, transcripts, window_turns=cfg.ctx_window_turns
+            ),
+            ckpt=False,
+        )
 
     # ---- distinct surfaces + blocked surface pairs (J2) ----
     surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
+
+    # alias dictionary + per-surface candidates (dictionary-sized)
+    # overlap the pair/soft chain; both feed the pre-gate shared_prior
+    cands_res = None
+    if alias_raw is not None:
+        def _cands():
+            alias_dict = cand_ops.build_alias_dict(alias_raw).persist()
+            return cand_ops.select_candidates(
+                surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
+            )
+
+        cands_res = _submit("surface_candidates", _cands, ckpt=False)
+
     pairs = stage(
         "surface_pairs", lambda: blocking.candidate_surface_pairs(surfaces, cfg)
     )
 
     # ---- SoftTFIDF (the gate feature) over ALL blocked pairs ----
+    # branch, not hub: its only consumer is the gated_pairs build, so
+    # an intermediate checkpoint barrier would only serialize — folded
+    # into the gated action its shuffles co-schedule with shared_prior's
     soft = stage(
         "surface_soft",
         lambda: scoring.soft_tfidf_feature(
@@ -201,6 +245,7 @@ def run_er_pipeline(
             cfg,
             assume_distinct=True,
         ),
+        ckpt=False,
     )
     feats = pairs.join(soft, ["left_norm", "right_norm"], "left").na.fill(
         {"name_soft": 0.0}
@@ -218,16 +263,7 @@ def run_er_pipeline(
     # far cheaper than the signature stages the gate protects.
     shared = None
     if alias_raw is not None:
-        alias_dict = stage(
-            "alias_dict", lambda: cand_ops.build_alias_dict(alias_raw), ckpt=False
-        )
-        cands = stage(
-            "surface_candidates",
-            lambda: cand_ops.select_candidates(
-                surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
-            ),
-            ckpt=False,
-        )
+        cands = cands_res()
         cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
         cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
         shared = (
@@ -279,10 +315,9 @@ def run_er_pipeline(
     # subplan in its lineage (left joins are not prunable) and compute
     # it twice.
     n_edges = None
+    edges = None
     if use_signatures:
-        if edges_fut is not None:
-            edges = edges_fut.result()
-            _edges_pool.shutdown()
+        edges = edges_res()
         # the edge count gates THREE strategy choices (signature kernel,
         # second-pass kernel, and the fast-path collect) — one probe job
         # on the materialized hub, reused everywhere
@@ -342,13 +377,7 @@ def run_er_pipeline(
     if cfg.use_ctx_feature:
         from wned_spark.operators import tfidf as tfidf_ops
 
-        ctx_w = stage(
-            "ctx_tfidf",
-            lambda: tfidf_ops.surface_context_weights(
-                mentions, transcripts, window_turns=cfg.ctx_window_turns
-            ),
-            ckpt=False,
-        )
+        ctx_w = ctx_w_res()
         ctx_pairs = survivors.select("left_sid", "right_sid").distinct()
         ctx_sim = stage(
             "ctx_similarity",
@@ -467,6 +496,8 @@ def run_er_pipeline(
         )
         metrics = pairwise_prf(labeled)
 
+    if _pool is not None:
+        _pool.shutdown(wait=True)
     return PipelineResult(
         mentions=mentions,
         pairs=pairs,
