@@ -148,7 +148,7 @@ def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
     }))
 
 
-def shuffle_control(cores: int) -> dict:
+def shuffle_control(cores: int, executor_cores: int = 4) -> dict:
     """Pure-JVM shuffle-join control: no python, no pipeline — isolates
     what the HOST gives Spark at this core count."""
     code = f"""
@@ -158,7 +158,7 @@ os.environ["PYSPARK_PYTHON"] = sys.executable
 from wned_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark(app_name="ctl{cores}", master={MASTER_URL!r}, shuffle_partitions=64,
-                  extra_conf={{"spark.cores.max": "{cores}", "spark.executor.cores": "4",
+                  extra_conf={{"spark.cores.max": "{cores}", "spark.executor.cores": "{executor_cores}",
                               "spark.executor.memory": "8g", "spark.driver.memory": "8g",
                               "spark.local.dir": {LOCAL_DIRS!r},
                               "spark.locality.wait": "0ms"}})
@@ -212,6 +212,11 @@ def orchestrate(convs: int, reps: int) -> None:
         print(f"cores={cores}: {results[cores]}", file=sys.stderr)
 
     t_n, t_4n = results[2]["turns_per_sec"], results[8]["turns_per_sec"]
+    # infra ceiling at the SAME allocations as the pipeline levels
+    # (1x2-core vs 4x2-core executors): what the host itself gives a
+    # pure-JVM shuffle join at 2 -> 8 cores
+    ctl2 = shuffle_control(2, executor_cores=2)
+    ctl8s = shuffle_control(8, executor_cores=2)
     ctl8 = shuffle_control(8)
     ctl32 = shuffle_control(32)
     cpu = cpu_control()
@@ -220,6 +225,12 @@ def orchestrate(convs: int, reps: int) -> None:
         "n_level": results[2], "4n_level": results[8],
         "speedup": round(t_4n / t_n, 3),
         "scaling_efficiency": round(t_4n / t_n / 4.0, 3),
+        "infra_ceiling_same_levels": {
+            "what": "pure-JVM 240M-row shuffle join + aggregate on the same cluster at the same 2 vs 8 core allocations (no Python, no pipeline)",
+            "wall_2_cores": ctl2["wall_sec"], "wall_8_cores": ctl8s["wall_sec"],
+            "speedup": round(ctl2["wall_sec"] / ctl8s["wall_sec"], 2),
+            "efficiency": round(ctl2["wall_sec"] / ctl8s["wall_sec"] / 4.0, 2),
+        },
         "host_ceiling_controls": {
             "shuffle_join_240M_rows": {"wall_8_cores": ctl8["wall_sec"],
                                         "wall_32_cores": ctl32["wall_sec"],
