@@ -28,6 +28,76 @@ def test_mention_extraction_matches_gold_exactly(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_native_span_extractor_matches_python_oracle(spark):
+    """The production extractor is pure Spark expressions
+    (regexp_extract_all + split + aggregate fold for offsets); the
+    Arrow UDF is kept as the parity oracle. Pin span-for-span equality
+    on the engine-divergence edge cases: adjacent matches, leading/
+    trailing matches, NBSP (must NOT join under the explicit ASCII
+    whitespace class in either engine), astral code points before a
+    match (offsets count code points in both), NULL/empty text."""
+    from wned_spark.operators.mentions import (
+        extract_mention_spans,
+        extract_mention_spans_native,
+    )
+
+    texts = [
+        "Alice Gardenbar met Dr. Bob Quill at IBM in New York.",
+        "IBM, Apple and NASA",
+        "Trailing match ends with ACME",
+        "MIT starts it",
+        "",
+        None,
+        "lowercase only, no mentions",
+        "A. Gardenbar vs Alice\tGardenbar\nNewline Case",
+        "Hard Space",  # NBSP: two separate mentions in BOTH engines
+        "Automated Clearing House (ACH) wired X. Y. Zed",
+        "\U0001f600 astral then IBM and Alice Gardenbar",
+        "U.S.A and USA and UvA",
+        "Tab\tJoined\tRun",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        extract_mention_spans(F.col("text")).alias("udf"),
+        extract_mention_spans_native(F.col("text")).alias("nat"),
+    ).collect()
+    for r in rows:
+        assert r.udf == r.nat, (r.text, r.udf, r.nat)
+
+
+def test_native_span_extractor_matches_oracle_on_random_text(spark):
+    """Property check: on randomized mixed-case text (caps runs,
+    punctuation, unicode, whitespace variety) the native extractor and
+    the Python oracle agree span-for-span."""
+    import random
+
+    from wned_spark.operators.mentions import (
+        extract_mention_spans,
+        extract_mention_spans_native,
+    )
+
+    rng = random.Random(20260817)
+    frags = [
+        "Alice", "BOB", "x.", "Y.", "Inc.", "the", "ab", "Z", "ÅNGSTRÖM",
+        "D2", "ok,", "(NASA)", " ", " ", "😀", "é",
+    ]
+    seps = [" ", "  ", "\t", "\n", ", ", ". ", ""]
+    texts = [
+        "".join(
+            rng.choice(frags) + rng.choice(seps)
+            for _ in range(rng.randint(0, 30))
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(8)
+    mism = df.select(
+        extract_mention_spans(F.col("text")).alias("udf"),
+        extract_mention_spans_native(F.col("text")).alias("nat"),
+    ).filter(F.col("udf") != F.col("nat"))
+    assert mism.count() == 0
+
+
 # ---------------- J6 coref ----------------
 def test_coref_merges_contained_names(spark):
     rows = [

@@ -23,8 +23,15 @@ from wned_spark.functions.normalize import norm_surface
 
 # Runs of capitalized tokens: "Alice Gardenbar", "Dr. Alice Gardenbar",
 # "A. Gardenbar", "IBM", "Gardenbar Systems Inc."
+# The whitespace class is spelled out (not \s) so the SAME pattern
+# string means the same thing to Python `re` (which gives \s unicode
+# semantics on str) and to Java regex inside Spark (ASCII \s) — the
+# native extractor and the Python parity oracle must agree match-for-
+# match on any input, not just ASCII.
+_WS = "[ \t\n\x0b\x0c\r]"
 _CAP_TOKEN = r"(?:[A-Z][a-z]+\.?|[A-Z]\.|[A-Z]{2,})"
-_MENTION_RE = re.compile(rf"{_CAP_TOKEN}(?:\s+{_CAP_TOKEN})*")
+_MENTION_PATTERN = rf"{_CAP_TOKEN}(?:{_WS}+{_CAP_TOKEN})*"
+_MENTION_RE = re.compile(_MENTION_PATTERN)
 
 _MENTION_STRUCT = T.ArrayType(
     T.StructType([
@@ -37,7 +44,12 @@ _MENTION_STRUCT = T.ArrayType(
 
 @F.pandas_udf(_MENTION_STRUCT)
 def extract_mention_spans(texts: pd.Series) -> pd.Series:
-    """Per-text array of (surface, start, end) capitalized-run spans."""
+    """Per-text array of (surface, start, end) capitalized-run spans.
+
+    Python twin of :func:`extract_mention_spans_native`, kept as the
+    parity oracle (``tests/test_operators.py``) — production extraction
+    is the native version, which keeps the one per-turn full-corpus
+    stage entirely JVM-side."""
     out = []
     for t in texts:
         if not isinstance(t, str):
@@ -48,6 +60,66 @@ def extract_mention_spans(texts: pd.Series) -> pd.Series:
             for m in _MENTION_RE.finditer(t)
         ])
     return pd.Series(out)
+
+
+_EMPTY_SPANS = (
+    "cast(array() as array<struct<surface:string,start:int,end:int>>)"
+)
+
+
+def extract_mention_spans_native(text) -> F.Column:
+    """Per-text array of (surface, start, end) spans as pure Spark
+    expressions — no Python in the plan.
+
+    Offsets are recovered without a positional regex API:
+    ``regexp_extract_all`` gives the n matched substrings in order and
+    ``split`` on the SAME pattern gives the n+1 non-matching gaps
+    between them, so ``start_i = Σ len(gap_1..i) + Σ len(match_1..i-1)``
+    — one ``aggregate`` fold carrying a running position. Both engines
+    use leftmost greedy matching on an identical pattern (see _WS), and
+    both ``F.length`` and Python offsets count code points, so this is
+    span-for-span identical to :func:`extract_mention_spans` (pinned in
+    tests). Mentions per turn are bounded, so the O(n²) array-concat in
+    the fold is noise; the win is removing the Arrow round-trip from
+    the only stage that touches every turn of the corpus."""
+    matches = F.regexp_extract_all(text, F.lit(_MENTION_PATTERN), F.lit(0))
+    gaps = F.split(text, _MENTION_PATTERN)
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.size(matches)),
+        F.struct(
+            F.lit(0).alias("pos"),
+            F.expr(_EMPTY_SPANS).alias("acc"),
+        ),
+        lambda acc, i: F.struct(
+            (
+                acc["pos"]
+                + F.length(F.element_at(gaps, i))
+                + F.length(F.element_at(matches, i))
+            ).alias("pos"),
+            F.concat(
+                acc["acc"],
+                F.array(
+                    F.struct(
+                        F.element_at(matches, i).alias("surface"),
+                        (acc["pos"] + F.length(F.element_at(gaps, i)))
+                        .cast("int")
+                        .alias("start"),
+                        (
+                            acc["pos"]
+                            + F.length(F.element_at(gaps, i))
+                            + F.length(F.element_at(matches, i))
+                        )
+                        .cast("int")
+                        .alias("end"),
+                    )
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: acc["acc"],
+    )
+    # size(matches) = 0 would make sequence(1, 0) count DOWN; NULL text
+    # propagates NULL size — both route to the empty array here.
+    return F.when(F.size(matches) > 0, folded).otherwise(F.expr(_EMPTY_SPANS))
 
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
@@ -61,7 +133,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     spans = transcripts.select(
         "conv_id",
         "turn_idx",
-        F.explode(extract_mention_spans(F.col("text"))).alias("m"),
+        F.explode(extract_mention_spans_native(F.col("text"))).alias("m"),
     )
     return spans.select(
         "conv_id",
@@ -166,10 +238,15 @@ def mine_parenthetical_definitions(transcripts: DataFrame) -> DataFrame:
     are normalized into canon space so :func:`expand_abbreviations` can
     union them straight into its dictionary — this is how an acronym
     resolves when its long form appears ONLY parenthetically and never
-    as a standalone mention."""
-    rows = transcripts.select(
-        "conv_id", F.explode(_mine_defs_udf(F.col("text"))).alias("d")
-    )
+    as a standalone mention.
+
+    A native ``rlike`` prefilter keeps turns with no parenthesized
+    group out of the Python stage entirely (the UDF would return []
+    for them anyway) — on typical corpora that is most of the rows,
+    so the Arrow traffic shrinks to the pattern-bearing slice."""
+    rows = transcripts.filter(
+        F.col("text").rlike(r"\([^()]{1,80}\)")
+    ).select("conv_id", F.explode(_mine_defs_udf(F.col("text"))).alias("d"))
     return rows.select(
         "conv_id",
         F.lower("d.acr").alias("acr"),
