@@ -101,22 +101,50 @@ def main() -> None:
         timings[name] = sorted(samples[name])[1]  # median of 3
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "protocol": "1 warm-up pass + median of 3 alternated repetitions (flagship: single run, internally long)",
-                "sf": sf,
-                "cpus": cpus,
-                "er_turns": n_turns,
-                "er_turns_per_sec": round(turns_per_sec, 2),
-            }
+
+    # ---- flagship at 10× input, OUTSIDE the suite total ----
+    # The sf-sized flagship input (4.8k turns at sf0.1) sits on the
+    # pipeline's near-constant orchestration term, so its turns/sec
+    # badly understates the engine (the same code measures 8.5k
+    # turns/sec on an 8-core cluster at 2.88M turns). One larger local
+    # run discloses engine-regime throughput without inflating the
+    # round-over-round suite metric.
+    large = None
+    if os.environ.get("SPARK_GRAFT_SKIP_LARGE") != "1":
+        corpus_l = generate_corpus(
+            spark, n_conversations=10 * n_conv, turns_per_conv=12,
+            n_entities=10 * n_ent, community_size=8,
         )
-    )
+        tr_l = corpus_l["transcripts"].persist()
+        n_turns_l = tr_l.count()
+        t0 = time.time()
+        res_l = run_er_pipeline(
+            spark, tr_l, alias_raw=corpus_l["alias_raw"], cfg=ERConfig()
+        )
+        run_noop(res_l.clusters)
+        sec_l = round(time.time() - t0, 3)
+        tr_l.unpersist()
+        large = {
+            "turns": n_turns_l,
+            "sec": sec_l,
+            "turns_per_sec": round(n_turns_l / sec_l, 2),
+        }
+
+    out = {
+        "metric": "headline_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "protocol": "1 warm-up pass + median of 3 alternated repetitions (flagship: single run, internally long)",
+        "sf": sf,
+        "cpus": cpus,
+        "er_turns": n_turns,
+        "er_turns_per_sec": round(turns_per_sec, 2),
+    }
+    if large is not None:
+        out["er_large"] = large
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

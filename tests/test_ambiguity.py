@@ -200,3 +200,30 @@ def test_parenthetical_definition_mining(spark):
     canon = {(r["conv_id"], r["surface"]): r["canon_norm"] for r in out.collect()}
     assert canon[("c1", "ACH")] == "automated clearing house"
     assert canon[("c2", "USA")] == "united states of america"
+
+
+def test_second_pass_unambiguous_dictionary_early_exit(spark):
+    """When no dictionary surface has >1 candidate entity, the second
+    pass must return an empty, correctly-typed override table straight
+    from the dictionary probe (no corpus-sized work)."""
+    from pyspark.sql import Row
+
+    from wned_spark.operators.disambig import second_pass_overrides
+
+    mentions = spark.createDataFrame([
+        Row(mention_id=1, conv_id="c1", turn_idx=0, surface="Acme",
+            start=0, end=4, surface_norm="acme"),
+    ])
+    cands = spark.createDataFrame([
+        Row(sid=7, entity_id=100, source="exact", prior=1.0),
+        Row(sid=8, entity_id=101, source="exact", prior=1.0),
+    ])
+    edges = spark.createDataFrame([], "src long, dst long, weight double")
+    surface_clusters = spark.createDataFrame(
+        [], "sid long, sn string, cluster_id long"
+    )
+    out = second_pass_overrides(
+        mentions, cands, edges, surface_clusters, ERConfig(), n_edges=0
+    )
+    assert out.columns == ["mention_id", "cluster_id"]
+    assert out.count() == 0

@@ -82,13 +82,23 @@ def second_pass_overrides(
         F.xxhash64(F.col(key_col)).alias("sid"),
     )
     amb = ambiguous_surfaces(cands)
+    if amb.isEmpty():
+        # no surface has >1 candidate entity: decide from the
+        # DICTIONARY alone, before any corpus-sized work — the
+        # amb_mentions probe below would join the full mentions table
+        # just to learn the same thing. On unambiguous corpora this
+        # makes the whole second pass dictionary-sized.
+        return mentions.sparkSession.createDataFrame(
+            [], "mention_id long, cluster_id long"
+        )
 
     amb_mentions = m.join(amb, "sid", "left_semi").persist()
     reps = None
     try:
         if amb_mentions.isEmpty():
-            # nothing ambiguous: skip the whole side-pipeline (otherwise
-            # the CSR broadcast of the full edge set is built for nothing)
+            # ambiguous dictionary rows exist but none occur in the
+            # corpus: skip the side-pipeline (otherwise the CSR
+            # broadcast of the full edge set is built for nothing)
             return amb_mentions.sparkSession.createDataFrame(
                 [], "mention_id long, cluster_id long"
             )

@@ -2,10 +2,12 @@
 
 The reference runs Stanford CoreNLP NER + GATE orthographic coref
 (``common/nlp/StanfordNER.java:98-230``, ``OrthoMatcherCoref.java``).
-The rebuild extracts capitalized-token-run mentions with char offsets via
-an Arrow-batched regex UDF (deterministic, dependency-free), then merges
-short person names into containing longer names per conversation —
-the ``ELUtils.resolve`` rule (``utils/ELUtils.java:178-208``: substring
+The rebuild extracts capitalized-token-run mentions with char offsets
+as pure Spark expressions (:func:`extract_mention_spans_native` —
+deterministic, dependency-free, no Python in the per-turn plan; the
+Arrow UDF twin is kept as the parity oracle), then merges short person
+names into containing longer names per conversation — the
+``ELUtils.resolve`` rule (``utils/ELUtils.java:178-208``: substring
 containment, longer name wins).
 """
 
