@@ -1705,6 +1705,121 @@ def er_clusters_flagship(spark, sf_dir):
     return res.clusters
 
 
+# =====================================================================
+# N1 extraction + J6 coref — driver-oracled on synthesized capitalized
+# text (documents.text is all-lowercase, so mention-bearing sentences
+# are built from customer/nation columns, the r8 oracle's technique)
+# =====================================================================
+
+# one sentence per customer with a capitalized-run variety: an
+# ALL-CAPS nation token, a run merged across 'Office. Customer', an
+# honorific-prefixed person chain with two containment-nested short
+# forms (coref work), and a corporate-suffixed org
+_MENTION_DOC_TAIL = (
+    " met Dr. Alice May Gardenbar then Gardenbar and May Gardenbar"
+    " left with IBM Corp."
+)
+_MENTION_DOCS_SQL = f"""
+  SELECT c_custkey AS conv_id,
+         'Report From ' || n_name || ' Office. ' || c_name || '{_MENTION_DOC_TAIL}' AS text
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+# R9-then-R8 normalizer, character-identical to functions/normalize.py
+# (same regexes the r8_normalize_strip oracle pins)
+_NORM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g'))), "
+    "'^(mr|mrs|ms|miss|dr|prof|gen|rep|sen|st|sr|jr|rev|fr|hon|gov|pres)\\.?\\s+', ''), "
+    "'\\s+(ltd|co|inc|corp|llc|plc|gmbh)\\.?$', ''), '\\.$', '')"
+)
+
+
+def _mention_docs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.col("c_custkey").alias("conv_id"),
+        F.concat(
+            F.lit("Report From "), "n_name", F.lit(" Office. "), "c_name",
+            F.lit(_MENTION_DOC_TAIL),
+        ).alias("text"),
+    )
+
+
+def _n1_sql() -> str:
+    from wned_spark.operators.mentions import _MENTION_PATTERN
+
+    return f"""
+    WITH docs AS ({_MENTION_DOCS_SQL}),
+    m AS (SELECT conv_id, unnest(regexp_extract_all(text, '{_MENTION_PATTERN}')) AS surface
+          FROM docs)
+    SELECT conv_id, surface, COUNT(*) AS n_occ FROM m GROUP BY conv_id, surface
+    """
+
+
+@register("n1_mention_surfaces", _n1_sql())
+def n1_mention_surfaces(spark, sf_dir):
+    """N1 extraction, driver-oracled: the native capitalized-run
+    extractor (StanfordNER.java:98-230 recast) vs DuckDB's RE2 running
+    the IDENTICAL pattern — the pattern avoids lookarounds and spells
+    out its whitespace class precisely so Java regex, Python re, and
+    RE2 all agree (offsets, which RE2 cannot produce, are pinned by
+    tests/test_operators.py against gold instead)."""
+    from wned_spark.operators.mentions import extract_mention_spans_native
+
+    docs = _mention_docs(spark, sf_dir)
+    m = docs.select(
+        "conv_id", F.explode(extract_mention_spans_native(F.col("text"))).alias("m")
+    )
+    return m.groupBy("conv_id", F.col("m.surface").alias("surface")).agg(
+        F.count("*").alias("n_occ")
+    )
+
+
+def _j6_sql() -> str:
+    from wned_spark.operators.mentions import _MENTION_PATTERN
+
+    norm = _NORM_SQL.format(col="surface")
+    return f"""
+    WITH docs AS ({_MENTION_DOCS_SQL}),
+    m AS (SELECT conv_id, unnest(regexp_extract_all(text, '{_MENTION_PATTERN}')) AS surface
+          FROM docs),
+    cs AS (SELECT DISTINCT conv_id, {norm} AS surface_norm FROM m),
+    contained AS (
+      SELECT a.conv_id, a.surface_norm, b.surface_norm AS container
+      FROM cs a JOIN cs b ON a.conv_id = b.conv_id
+      WHERE length(b.surface_norm) > length(a.surface_norm)
+        AND list_has_all(string_split(b.surface_norm, ' '),
+                         string_split(a.surface_norm, ' '))
+    ),
+    longest AS (
+      SELECT conv_id, surface_norm, container AS canon,
+             row_number() OVER (PARTITION BY conv_id, surface_norm
+                                ORDER BY length(container) DESC, container ASC) AS rk
+      FROM contained
+    )
+    SELECT cs.conv_id, cs.surface_norm,
+           COALESCE(l.canon, cs.surface_norm) AS canon_norm
+    FROM cs LEFT JOIN (SELECT * FROM longest WHERE rk = 1) l
+      ON cs.conv_id = l.conv_id AND cs.surface_norm = l.surface_norm
+    """
+
+
+@register("j6_coref_canonical", _j6_sql())
+def j6_coref_canonical(spark, sf_dir):
+    """J6 orthographic coref, driver-oracled: extraction → normalize →
+    token-subset containment → longest-container-wins canon mapping
+    (ELUtils.java:178-208 / OrthoMatcherCoref.java:221-278), with the
+    nested 'Gardenbar' ⊂ 'May Gardenbar' ⊂ 'Alice May Gardenbar' chain
+    exercising the longest-wins tiebreak per document."""
+    from wned_spark.operators.mentions import extract_mentions, resolve_coref
+
+    docs = _mention_docs(spark, sf_dir)
+    tr = docs.select("conv_id", F.lit(0).cast("int").alias("turn_idx"), "text")
+    cm = resolve_coref(extract_mentions(tr))
+    return cm.select("conv_id", "surface_norm", "canon_norm").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
