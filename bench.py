@@ -54,13 +54,25 @@ def main() -> None:
     transcripts = corpus["transcripts"].persist()
     n_turns = transcripts.count()  # materialize outside the timed window
 
-    t0 = time.time()
-    res = run_er_pipeline(
-        spark, transcripts, alias_raw=corpus["alias_raw"], cfg=ERConfig()
+    # Same noise protocol as the headliners: one untimed warm-up run
+    # absorbs JIT/whole-stage-codegen/python-worker-pool startup (which
+    # lands entirely on the session's first job and was measured to
+    # swing a single-run flagship 16 s -> 36 s), then median of 3.
+    run_noop(
+        run_er_pipeline(
+            spark, transcripts, alias_raw=corpus["alias_raw"], cfg=ERConfig()
+        ).clusters
     )
-    run_noop(res.clusters)
-    er_sec = time.time() - t0
-    timings["er_pipeline"] = round(er_sec, 3)
+    er_samples = []
+    for _rep in range(3):
+        t0 = time.time()
+        res = run_er_pipeline(
+            spark, transcripts, alias_raw=corpus["alias_raw"], cfg=ERConfig()
+        )
+        run_noop(res.clusters)
+        er_samples.append(round(time.time() - t0, 3))
+    er_sec = sorted(er_samples)[1]
+    timings["er_pipeline"] = er_sec
     turns_per_sec = n_turns / er_sec
 
     # ---- registry headliners over the sf tables ----
@@ -135,8 +147,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "samples": samples,
-        "protocol": "1 warm-up pass + median of 3 alternated repetitions (flagship: single run, internally long)",
+        "samples": {"er_pipeline": er_samples, **samples},
+        "protocol": "1 warm-up pass + median of 3 alternated repetitions (flagship included: warm-up + median of 3)",
         "sf": sf,
         "cpus": cpus,
         "er_turns": n_turns,

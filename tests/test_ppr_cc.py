@@ -201,6 +201,57 @@ def test_signature_zero_kl_identical_is_one(spark):
     assert abs(out["sig_kl"] - 1.0) < 1e-12
 
 
+def test_signature_features_matches_single_kernels(spark):
+    """The fused one-pass kernel (sig_cosine + sig_kl together) must
+    equal composing signature_cosine and signature_zero_kl on random
+    signatures — including pairs missing one or both signatures, the
+    cases where the single kernels' fill/drop semantics differ most."""
+    from wned_spark.operators.ppr import (
+        signature_cosine,
+        signature_features,
+        signature_zero_kl,
+    )
+
+    rng = random.Random(17)
+    n_seeds, n_nodes = 12, 15
+    rows = []
+    for s in range(n_seeds - 2):  # seeds 10, 11 have NO signature
+        nodes = rng.sample(range(n_nodes), rng.randint(1, 6))
+        ws = [rng.random() for _ in nodes]
+        tot = sum(ws)
+        rows += [Row(seed=s, node=n_, rank=w / tot) for n_, w in zip(nodes, ws)]
+    pair_rows = [
+        Row(seed_a=a, seed_b=b)
+        for a in range(n_seeds)
+        for b in range(n_seeds)
+        if a < b and rng.random() < 0.5
+    ]
+    # force the degenerate corners into the sample
+    pair_rows += [Row(seed_a=0, seed_b=10), Row(seed_a=10, seed_b=1),
+                  Row(seed_a=10, seed_b=11)]
+    sigs = spark.createDataFrame(rows)
+    pairs = spark.createDataFrame(pair_rows).distinct()
+
+    fused = {
+        (r["seed_a"], r["seed_b"]): (r["sig_cosine"], r["sig_kl"])
+        for r in signature_features(pairs, sigs).collect()
+    }
+    cos = {
+        (r["seed_a"], r["seed_b"]): r["sig_cosine"]
+        for r in signature_cosine(pairs, sigs).collect()
+    }
+    kl = {
+        (r["seed_a"], r["seed_b"]): r["sig_kl"]
+        for r in signature_zero_kl(pairs, sigs).collect()
+    }
+    assert set(fused) == {(r["seed_a"], r["seed_b"]) for r in pair_rows}
+    for key, (c_f, k_f) in fused.items():
+        # cosine: the standalone kernel DROPS pairs with a missing-side
+        # norm; the pipeline refills them with 0.0 — fused emits the 0
+        assert abs(c_f - cos.get(key, 0.0)) < 1e-9, key
+        assert abs(k_f - kl[key]) < 1e-9, key
+
+
 def test_surface_context_weights_and_cosine(spark):
     """ctx feature source: two surfaces sharing context terms score
     higher than two that don't; weights match the Lucene tf-idf form."""

@@ -342,24 +342,15 @@ def run_er_pipeline(
         node_pairs = gated.select(
             F.col("left_sid").alias("seed_a"), F.col("right_sid").alias("seed_b")
         ).distinct()
-        sig_sim = stage(
-            "sig_similarity",
-            lambda: ppr.signature_cosine(node_pairs, sigs).withColumnRenamed(
-                "seed_a", "left_sid"
-            ).withColumnRenamed("seed_b", "right_sid"),
-            ckpt=False,
-        )
-        survivors = survivors.join(
-            sig_sim, ["left_sid", "right_sid"], "left"
-        ).na.fill({"sig_cosine": 0.0})
-
-        # semSim proper (R7): the reference's semantic similarity is
-        # 1/ZeroKL over signatures (SemanticSignatureEL.java:806), not
-        # cosine — carry BOTH as features (cosine kept for symmetry
-        # with round-1 behavior, KL for reference parity)
-        sig_kl = stage(
-            "sig_kl",
-            lambda: ppr.signature_zero_kl(
+        # R6 cosine + R7 semSim (1/ZeroKL over signatures,
+        # SemanticSignatureEL.java:806) carried as TWO features, but
+        # computed by the fused one-pass kernel: the (pair ×
+        # signature-node) join is the feature stage's biggest
+        # intermediate, and the separate kernels shuffled it three
+        # times (cosine + KL per direction) for one set of rows
+        sig_feats = stage(
+            "sig_features",
+            lambda: ppr.signature_features(
                 node_pairs, sigs, eps=cfg.kl_eps, gamma=cfg.kl_gamma
             ).withColumnRenamed("seed_a", "left_sid").withColumnRenamed(
                 "seed_b", "right_sid"
@@ -367,8 +358,8 @@ def run_er_pipeline(
             ckpt=False,
         )
         survivors = survivors.join(
-            sig_kl, ["left_sid", "right_sid"], "left"
-        ).na.fill({"sig_kl": 0.0})
+            sig_feats, ["left_sid", "right_sid"], "left"
+        ).na.fill({"sig_cosine": 0.0, "sig_kl": 0.0})
 
     # ---- "local" context feature (WNED's 4-feature family: prior /
     # local / semSim / nameSim — utils/Feature.java:20-38): tf-idf
