@@ -42,6 +42,21 @@ def main() -> None:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def release_pipeline_caches(*repin) -> None:
+        """run_er_pipeline persists/localCheckpoints ~a dozen frames per
+        run and hands ownership to the caller; across warm-up + 3 reps +
+        the 10× run those pinned blocks would accumulate, putting later
+        reps under growing storage pressure (and an evicted
+        localCheckpoint block cannot recompute — truncated lineage).
+        Drop every cached block between runs, then re-pin + re-
+        materialize the inputs outside the timed window."""
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(True)
+        for df in repin:
+            df.persist()
+            df.count()
+
     timings: dict[str, float] = {}
 
     # ---- flagship: ER pipeline sized to sf ----
@@ -65,6 +80,7 @@ def main() -> None:
     )
     er_samples = []
     for _rep in range(3):
+        release_pipeline_caches(transcripts)
         t0 = time.time()
         res = run_er_pipeline(
             spark, transcripts, alias_raw=corpus["alias_raw"], cfg=ERConfig()
@@ -93,6 +109,9 @@ def main() -> None:
         "text_fingerprint",
     ]
     qs = EQ.queries()
+
+    # flagship caches are dead weight from here on
+    release_pipeline_caches()
 
     # Noise protocol (same as bench_scaling.py, applied per the round-2
     # verdict): one untimed warm-up pass absorbs JIT/codegen/catalog
@@ -129,6 +148,7 @@ def main() -> None:
         )
         tr_l = corpus_l["transcripts"].persist()
         n_turns_l = tr_l.count()
+        release_pipeline_caches(tr_l)
         t0 = time.time()
         res_l = run_er_pipeline(
             spark, tr_l, alias_raw=corpus_l["alias_raw"], cfg=ERConfig()

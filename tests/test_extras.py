@@ -1,6 +1,7 @@
 """Dedup / ANN / text / multimodal correctness tests (extras beyond the
 reference inventory, graded as first-class components)."""
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 from pyspark.sql import Row
@@ -308,7 +309,11 @@ def test_multimodal_features_short_and_empty_payloads(spark):
     short = out[1]
     assert [round(v) for v in short[:3]] == [10, 20, 30]
     assert all(v is None for v in short[3:])
-    assert all(v is not None for v in out[2])
+    # media 2: pin EVERY chunk mean against np.array_split — a clamped
+    # reduceat silently truncated the LAST chunk's sum (59.5 → 51.625)
+    # whenever the batch ended in an empty payload
+    expected = [float(c.mean()) for c in np.array_split(np.arange(64), 8)]
+    assert out[2] == pytest.approx(expected, abs=1e-6)
     assert all(v is None for v in out[3])
 
 

@@ -421,18 +421,16 @@ def test_oph_densify_borrows_with_distance_mixing(spark):
 
 
 def test_oph_relational_matches_column_spec(spark):
-    """The production relational OPH path (dedup._oph_bands internals)
-    must produce the same densified bin values as the column-expression
-    spec kernels for docs with ≥1 shingle (bounded-chain vs exact
-    nearest-neighbor densification only diverges after 8 consecutive
-    empty bins, ~1e-8)."""
+    """The PRODUCTION relational OPH path (dedup._oph_dense, called
+    directly — not an inline copy) must produce the same densified bin
+    values as the column-expression spec kernels for EVERY document
+    shape: dense, sparse (1-3 shingles at k=16, where bin gaps larger
+    than any bounded chain are routine), and zero-shingle docs (the
+    per-bin constant fallback)."""
     import random
 
-    from wned_spark.functions.shingles import (
-        _OPH_SEED,
-        oph_densify,
-        oph_signature,
-    )
+    from wned_spark.functions.shingles import oph_densify, oph_signature
+    from wned_spark.operators.dedup import _oph_dense
 
     k = 16
     rng = random.Random(3)
@@ -440,6 +438,14 @@ def test_oph_relational_matches_column_spec(spark):
     for d in range(12):
         n = rng.randrange(1, 40)
         rows.append((d, [f"sh{rng.randrange(200)}" for _ in range(n)]))
+    # adversarial tail: sparse docs whose occupied bins leave large
+    # cyclic gaps, and a fully-empty doc
+    rows += [
+        (100, ["only-one"]),
+        (101, ["x1", "x2"]),
+        (102, ["y1", "y2", "y3"]),
+        (103, []),
+    ]
     df = spark.createDataFrame(rows, "doc long, shingles array<string>")
 
     # column spec: densified signature arrays
@@ -453,42 +459,29 @@ def test_oph_relational_matches_column_spec(spark):
         .collect()
     }
 
-    # relational path: rebuild (doc, bin, dv) exactly as _oph_bands does
-    from pyspark.sql import Window
-
-    hs = df.select("doc", F.explode_outer("shingles").alias("s")).select(
-        "doc", F.xxhash64("s", F.lit(_OPH_SEED)).alias("h")
-    )
-    binmin = hs.groupBy("doc", F.pmod("h", F.lit(k)).alias("bin")).agg(
-        F.min("h").alias("v")
-    )
-    grid = (
-        binmin.select("doc").distinct()
-        .select("doc", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bin"))
-    )
-    g = grid.join(binmin, ["doc", "bin"], "left")
-    w_fwd = Window.partitionBy("doc").orderBy("bin").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    w_all = Window.partitionBy("doc").orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    filled = F.when(F.col("v").isNotNull(), F.struct("bin", "v"))
-    g = g.select(
-        "doc", "bin",
-        F.coalesce(
-            F.first(filled, ignorenulls=True).over(w_fwd),
-            F.first(filled, ignorenulls=True).over(w_all),
-        ).alias("src"),
-    )
-    dist = F.pmod(F.col("src.bin") - F.col("bin"), F.lit(k))
-    dense = g.select(
-        "doc", "bin",
-        F.when(dist == 0, F.col("src.v"))
-        .otherwise(F.xxhash64(F.col("src.v"), dist)).alias("dv"),
-    )
     rel = {}
-    for r in dense.collect():
+    for r in _oph_dense(df, k).collect():
         rel.setdefault(r["doc"], {})[r["bin"]] = r["dv"]
+    assert set(rel) == set(spec)
     for d, arr in spec.items():
         assert [rel[d][i] for i in range(k)] == list(arr), f"doc {d}"
+
+
+def test_oph_bands_floor_non_divisible(spark):
+    """With num_hashes not divisible by band_size, the oph scheme must
+    drop the leftover bins — floor(num_hashes/band_size) full bands,
+    exactly like the classic kernels — not emit a short high-collision
+    band."""
+    from wned_spark.operators.dedup import _oph_bands
+
+    df = spark.createDataFrame(
+        [(1, [f"s{i}" for i in range(30)]), (2, [])],
+        "doc long, shingles array<string>",
+    )
+    out = _oph_bands(df, num_hashes=30, band_size=4).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc"], []).append(r["band"])
+    assert len(per_doc[1]) == 30 // 4
+    assert len(per_doc[2]) == 30 // 4  # empty doc bands too, distinctly
+    assert set(per_doc[1]).isdisjoint(per_doc[2])

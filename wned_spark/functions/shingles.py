@@ -112,16 +112,19 @@ def oph_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.aggregate(hashed, init, merge)
 
 
-def oph_densify(sig: Column, num_hashes: int = 16, max_chain: int = 8) -> Column:
+def oph_densify(sig: Column, num_hashes: int = 16) -> Column:
     """Rotation densification for an OPH sketch: an empty bin i borrows
     the value of the nearest non-empty bin (i+j) mod k, re-mixed by the
     borrow distance (``xxhash64(value, j)``) so a borrowed agreement is
     distinct from a direct one — the standard densified-OPH estimator.
-    The chain is bounded at ``max_chain`` (P(that many consecutive
-    empty bins) is ~1e-8 for documents with ≥tens of shingles); the
-    final fallback is a bin-indexed constant, so fully-empty documents
-    (zero shingles) still band deterministically and only with other
-    empties — same convention as :func:`minhash_signature`.
+    The forward scan covers the FULL cycle (a sparse document — few
+    distinct shingles — routinely leaves gaps of many consecutive empty
+    bins, so a bounded chain would silently diverge from the relational
+    production kernel, which borrows at any distance); only a document
+    with zero shingles falls through to the bin-indexed constant, so
+    fully-empty documents band deterministically and only with other
+    empties — same convention as :func:`minhash_signature` and
+    ``dedup._oph_bands``.
 
     Call on a MATERIALIZED signature attribute (post-explode/aggregate
     barrier), not a composed expression: each output element reads
@@ -129,7 +132,7 @@ def oph_densify(sig: Column, num_hashes: int = 16, max_chain: int = 8) -> Column
     duplicate the whole sketch build per reference."""
     def dense(i: int) -> Column:
         cands = []
-        for j in range(max_chain + 1):
+        for j in range(num_hashes):
             v = F.element_at(sig, ((i + j) % num_hashes) + 1)
             vv = v if j == 0 else F.xxhash64(v, F.lit(j))
             cands.append(F.when(v != F.lit(_MAX_LONG), vv))

@@ -80,39 +80,38 @@ def ngram_jaccard_pairs(
     )
 
 
-def _oph_bands(
-    sh: DataFrame, num_hashes: int, band_size: int
-) -> DataFrame:
-    """(doc, band) LSH keys via RELATIONAL one-permutation hashing:
+def _oph_dense(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, bin, dv) densified OPH values via the RELATIONAL kernel:
     explode shingles → ONE ``xxhash64`` per shingle → map-side-combined
     ``groupBy(doc, pmod(h, k)).min`` (≤k rows per doc reach the
-    shuffle) → exact rotation densification with two window passes →
-    band keys.
+    shuffle) → exact rotation densification with two window passes.
 
-    Semantics match the column-expression spec kernels
+    Semantics EQUAL the column-expression spec kernels
     (:func:`wned_spark.functions.shingles.oph_signature` /
-    ``oph_densify``, parity-pinned in tests) but run ~30× faster:
-    Spark's higher-order array functions (``transform``/``aggregate``/
-    ``filter``) are CodegenFallback — interpreted, boxing every
-    element — so a k-bin accumulator expression allocates a fresh
-    k-array per shingle, while this formulation stays entirely inside
-    whole-stage codegen. Empty shingle arrays survive via
-    ``explode_outer`` (null hashes to a seed-derived constant), so
-    empty docs band deterministically and only with each other — the
-    classic kernel's sentinel convention."""
+    ``oph_densify``, parity-pinned element-for-element in tests DIRECTLY
+    against this function, including sparse and zero-shingle documents)
+    but run ~30× faster: Spark's higher-order array functions
+    (``transform``/``aggregate``/``filter``) are CodegenFallback —
+    interpreted, boxing every element — so a k-bin accumulator
+    expression allocates a fresh k-array per shingle, while this
+    formulation stays entirely inside whole-stage codegen. A document
+    with zero shingles has an all-null grid (the doc list comes from
+    the input, not the hash rows) and takes the same per-bin constant
+    fallback as the spec kernel, so empty docs band deterministically
+    and only with each other."""
     from pyspark.sql import Window
 
     from wned_spark.functions.shingles import _OPH_SEED
 
     k = num_hashes
-    hs = sh.select("doc", F.explode_outer("shingles").alias("s")).select(
+    hs = sh.select("doc", F.explode("shingles").alias("s")).select(
         "doc", F.xxhash64("s", F.lit(_OPH_SEED)).alias("h")
     )
     binmin = hs.groupBy(
         "doc", F.pmod("h", F.lit(k)).alias("bin")
     ).agg(F.min("h").alias("v"))
     grid = (
-        binmin.select("doc")
+        sh.select("doc")
         .distinct()
         .select("doc", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bin"))
     )
@@ -138,16 +137,32 @@ def _oph_bands(
         ).alias("src"),
     )
     # borrow distance mixes the value (xxhash64(v, dist)) so borrowed
-    # agreement stays distinct from direct agreement — densified OPH
+    # agreement stays distinct from direct agreement — densified OPH;
+    # a fully-empty doc (src null everywhere) takes the spec kernel's
+    # bin-indexed constant
     dist = F.pmod(F.col("src.bin") - F.col("bin"), F.lit(k))
-    dense = g.select(
+    return g.select(
         "doc",
         "bin",
-        F.when(dist == 0, F.col("src.v"))
+        F.when(F.col("src").isNull(), F.xxhash64(F.col("bin"), F.lit(-1)))
+        .when(dist == 0, F.col("src.v"))
         .otherwise(F.xxhash64(F.col("src.v"), dist))
         .alias("dv"),
     )
-    return dense.groupBy(
+
+
+def _oph_bands(
+    sh: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc, band) LSH keys over :func:`_oph_dense` values. The band
+    count is floored exactly like the classic kernels
+    (``minhash_band_keys*``): leftover bins beyond n_bands*band_size
+    are dropped, never emitted as a short (higher-collision) band, so
+    'oph' and 'classic' schemes stay comparable at any
+    (num_hashes, band_size)."""
+    dense = _oph_dense(sh, num_hashes)
+    n_bands = num_hashes // band_size
+    return dense.filter(F.col("bin") < n_bands * band_size).groupBy(
         "doc", (F.col("bin") / band_size).cast("int").alias("bandidx")
     ).agg(
         F.xxhash64(

@@ -111,12 +111,16 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 # every payload empty: np.array_split semantics = all-NaN
                 feats = np.full((n, feat_dim), np.nan)
             else:
-                # payloads shorter than feat_dim repeat their boundary
-                # index (zero-length chunks); a trailing empty payload
-                # pushes starts to len(flat). Clamp so reduceat never
-                # indexes out of range, then mask zero-length chunks to
-                # NaN — the empty-chunk mean np.array_split would give.
-                sums = np.add.reduceat(flat, np.minimum(starts, total - 1))
+                # segment sums via prefix-sum differences: exact for
+                # zero-length chunks (payloads shorter than feat_dim
+                # repeat their boundary index → sum 0) and for boundary
+                # indices at len(flat) (trailing empty payload), both of
+                # which np.add.reduceat mishandles — a clamped reduceat
+                # was measured to truncate the last non-empty chunk's
+                # sum whenever the batch ended in an empty payload.
+                csum = np.concatenate(([0], np.cumsum(flat)))
+                ends = np.append(starts[1:], total)
+                sums = csum[ends] - csum[starts]
                 with np.errstate(invalid="ignore", divide="ignore"):
                     feats = np.where(
                         chunk_lens > 0, sums / np.maximum(chunk_lens, 1), np.nan

@@ -179,321 +179,335 @@ def run_er_pipeline(
 
         _pool = ThreadPoolExecutor(max_workers=3)
 
-    def _submit(name: str, fn, ckpt: bool = True):
-        """Run a stage on a worker thread (materialized on return);
-        sequential fallback in catalog mode. Returns a 0-arg resolver."""
-        if _pool is None:
-            d = stage(name, fn, ckpt=ckpt)
-            return lambda: d
+    # worker threads must not outlive the call on ANY exit: a failed
+    # stage propagating mid-build would otherwise leak up to 3 live
+    # non-daemon threads still submitting Spark jobs. On the happy
+    # path every future is already resolved, so shutdown is instant;
+    # on error, wait=False + cancel_futures avoids blocking on a
+    # still-running sibling stage.
+    try:
+        def _submit(name: str, fn, ckpt: bool = True):
+            """Run a stage on a worker thread (materialized on return);
+            sequential fallback in catalog mode. Returns a 0-arg resolver."""
+            if _pool is None:
+                d = stage(name, fn, ckpt=ckpt)
+                return lambda: d
 
-        def _build():
-            d = stage(name, fn, ckpt=ckpt)
-            if not ckpt:
-                d.count()  # force the persist on THIS thread
-            return d
+            def _build():
+                d = stage(name, fn, ckpt=ckpt)
+                if not ckpt:
+                    d.count()  # force the persist on THIS thread
+                return d
 
-        fut = _pool.submit(_build)
-        return fut.result
+            fut = _pool.submit(_build)
+            return fut.result
 
-    edges_res = None
-    if use_signatures:
-        edges_res = _submit(
-            "cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg)
-        )
-
-    # the ctx-tfidf weight table needs only mentions + transcripts —
-    # its ~20% of pipeline compute overlaps the whole blocking chain
-    ctx_w_res = None
-    if cfg.use_ctx_feature:
-        from wned_spark.operators import tfidf as tfidf_ops
-
-        ctx_w_res = _submit(
-            "ctx_tfidf",
-            lambda: tfidf_ops.surface_context_weights(
-                mentions, transcripts, window_turns=cfg.ctx_window_turns
-            ),
-            ckpt=False,
-        )
-
-    # ---- distinct surfaces + blocked surface pairs (J2) ----
-    surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
-
-    # alias dictionary + per-surface candidates (dictionary-sized)
-    # overlap the pair/soft chain; both feed the pre-gate shared_prior
-    cands_res = None
-    if alias_raw is not None:
-        def _cands():
-            alias_dict = cand_ops.build_alias_dict(alias_raw).persist()
-            return cand_ops.select_candidates(
-                surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
+        edges_res = None
+        if use_signatures:
+            edges_res = _submit(
+                "cooccur_edges", lambda: graph.build_cooccurrence_edges(mentions, cfg)
             )
 
-        cands_res = _submit("surface_candidates", _cands, ckpt=False)
+        # the ctx-tfidf weight table needs only mentions + transcripts —
+        # its ~20% of pipeline compute overlaps the whole blocking chain
+        ctx_w_res = None
+        if cfg.use_ctx_feature:
+            from wned_spark.operators import tfidf as tfidf_ops
 
-    pairs = stage(
-        "surface_pairs", lambda: blocking.candidate_surface_pairs(surfaces, cfg)
-    )
-
-    # ---- SoftTFIDF (the gate feature) over ALL blocked pairs ----
-    # branch, not hub: its only consumer is the gated_pairs build, so
-    # an intermediate checkpoint barrier would only serialize — folded
-    # into the gated action its shuffles co-schedule with shared_prior's
-    soft = stage(
-        "surface_soft",
-        lambda: scoring.soft_tfidf_feature(
-            pairs.select("left_norm", "right_norm").distinct(),
-            cfg,
-            assume_distinct=True,
-        ),
-        ckpt=False,
-    )
-    feats = pairs.join(soft, ["left_norm", "right_norm"], "left").na.fill(
-        {"name_soft": 0.0}
-    )
-
-    # ---- prior feature via alias dictionary at surface level (J1/A2) ----
-    # computed BEFORE the cascade gate: in the reference, two surfaces
-    # that the alias dictionary maps to the same KB entity link through
-    # the DICTIONARY, with no string-similarity precondition at all
-    # (AliasLuceneIndex exact lookup → shared winner entity). "Acme
-    # Group" vs "Acme International" share only the head token — the
-    # soft gate alone would drop them — but the dictionary carries
-    # them. The candidate table is dictionary-sized (≤ top_k rows per
-    # surface), so this is a broadcast-scale join over blocked pairs,
-    # far cheaper than the signature stages the gate protects.
-    shared = None
-    if alias_raw is not None:
-        cands = cands_res()
-        cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
-        cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
-        shared = (
-            pairs.select("left_sid", "right_sid")
-            .join(cl, "left_sid")
-            .join(cr, ["right_sid", "entity_id"])
-            .groupBy("left_sid", "right_sid")
-            .agg(F.max(F.least("p_l", "p_r")).alias("shared_prior"))
-        )
-        feats = feats.join(shared, ["left_sid", "right_sid"], "left").na.fill(
-            {"shared_prior": 0.0}
-        )
-
-    # ---- CASCADE GATE ----
-    # a pair can produce a match edge only through (a) discriminative
-    # token alignment (name_soft >= soft_gate — the reference's
-    # JW >= 0.8 fuzzy-candidate gate, CSUtils.java:53-78, strengthened
-    # to SoftTFIDF) or (b) decisive dictionary evidence (shared_prior
-    # >= prior_gate — the exact-lookup path, where both surfaces alias
-    # the same entity with high prior). Everything below BOTH bars can
-    # never pass the final match rule — prune it BEFORE the expensive
-    # signature joins AND the remaining string features. At scale this
-    # drops ~95% of blocked pairs, and the PPR seed set shrinks to the
-    # surfaces that still matter.
-    gate_pred = F.col("name_soft") >= cfg.soft_gate
-    if shared is not None:
-        gate_pred = gate_pred | (F.col("shared_prior") >= cfg.prior_gate)
-    gated = stage("gated_pairs", lambda: feats.filter(gate_pred))
-
-    # ---- remaining string features (R2-R4/R15) on gate SURVIVORS ----
-    # only name_soft feeds the gate, so the JW UDF (the one Python
-    # feature) runs on ~5% of the blocked pairs — measured 59s → ~4s
-    # for the hottest stage at 2.7M blocked pairs on 8 cores
-    strf = stage(
-        "surface_features",
-        lambda: scoring.string_features(
-            gated.select("left_norm", "right_norm").distinct(), cfg
-        ),
-        ckpt=False,
-    )
-    survivors = gated.join(strf, ["left_norm", "right_norm"], "left").na.fill(
-        {"name_jw": 0.0, "name_lev": 0.0, "name_dice": 0.0}
-    )
-
-    # ---- PPR semantic signatures (G1/G3/G5, J7/J8) ----
-    # NOTE every auxiliary feature (sig_sim, shared prior) is derived
-    # from the PERSISTED gated stage — deriving one from the already-
-    # feature-joined DataFrame would embed the other feature's whole
-    # subplan in its lineage (left joins are not prunable) and compute
-    # it twice.
-    n_edges = None
-    edges = None
-    if use_signatures:
-        edges = edges_res()
-        # the edge count gates THREE strategy choices (signature kernel,
-        # second-pass kernel, and the fast-path collect) — one probe job
-        # on the materialized hub, reused everywhere
-        n_edges = edges.count()
-
-        def _sigs():
-            seeds = (
-                gated.select(F.col("left_sid").alias("seed"))
-                .union(gated.select(F.col("right_sid").alias("seed")))
-                .distinct()
+            ctx_w_res = _submit(
+                "ctx_tfidf",
+                lambda: tfidf_ops.surface_context_weights(
+                    mentions, transcripts, window_turns=cfg.ctx_window_turns
+                ),
+                ckpt=False,
             )
-            if n_edges <= cfg.ppr_broadcast_max_edges:
-                return ppr.personalized_pagerank_broadcast(
-                    seeds, edges, cfg, max_degree=cfg.ppr_max_degree
+
+        # ---- distinct surfaces + blocked surface pairs (J2) ----
+        surfaces = stage("surfaces", lambda: blocking.surfaces_of(mentions))
+
+        # alias dictionary + per-surface candidates (dictionary-sized)
+        # overlap the pair/soft chain; both feed the pre-gate shared_prior
+        cands_res = None
+        if alias_raw is not None:
+            def _cands():
+                alias_dict = cand_ops.build_alias_dict(alias_raw).persist()
+                return cand_ops.select_candidates(
+                    surfaces, alias_dict, cfg, id_col="sid", key_col="sn"
                 )
-            return ppr.personalized_pagerank(
-                seeds, edges, cfg, check_delta=cfg.ppr_check_delta,
-                symmetric=True, max_degree=cfg.ppr_max_degree,
+
+            cands_res = _submit("surface_candidates", _cands, ckpt=False)
+
+        pairs = stage(
+            "surface_pairs", lambda: blocking.candidate_surface_pairs(surfaces, cfg)
+        )
+
+        # ---- SoftTFIDF (the gate feature) over ALL blocked pairs ----
+        # branch, not hub: its only consumer is the gated_pairs build, so
+        # an intermediate checkpoint barrier would only serialize — folded
+        # into the gated action its shuffles co-schedule with shared_prior's
+        soft = stage(
+            "surface_soft",
+            lambda: scoring.soft_tfidf_feature(
+                pairs.select("left_norm", "right_norm").distinct(),
+                cfg,
+                assume_distinct=True,
+            ),
+            ckpt=False,
+        )
+        feats = pairs.join(soft, ["left_norm", "right_norm"], "left").na.fill(
+            {"name_soft": 0.0}
+        )
+
+        # ---- prior feature via alias dictionary at surface level (J1/A2) ----
+        # computed BEFORE the cascade gate: in the reference, two surfaces
+        # that the alias dictionary maps to the same KB entity link through
+        # the DICTIONARY, with no string-similarity precondition at all
+        # (AliasLuceneIndex exact lookup → shared winner entity). "Acme
+        # Group" vs "Acme International" share only the head token — the
+        # soft gate alone would drop them — but the dictionary carries
+        # them. The candidate table is dictionary-sized (≤ top_k rows per
+        # surface), so this is a broadcast-scale join over blocked pairs,
+        # far cheaper than the signature stages the gate protects.
+        shared = None
+        if alias_raw is not None:
+            cands = cands_res()
+            cl = cands.select(F.col("sid").alias("left_sid"), "entity_id", F.col("prior").alias("p_l"))
+            cr = cands.select(F.col("sid").alias("right_sid"), "entity_id", F.col("prior").alias("p_r"))
+            shared = (
+                pairs.select("left_sid", "right_sid")
+                .join(cl, "left_sid")
+                .join(cr, ["right_sid", "entity_id"])
+                .groupBy("left_sid", "right_sid")
+                .agg(F.max(F.least("p_l", "p_r")).alias("shared_prior"))
+            )
+            feats = feats.join(shared, ["left_sid", "right_sid"], "left").na.fill(
+                {"shared_prior": 0.0}
             )
 
-        sigs = stage("ppr_signatures", _sigs)
-        node_pairs = gated.select(
-            F.col("left_sid").alias("seed_a"), F.col("right_sid").alias("seed_b")
-        ).distinct()
-        # R6 cosine + R7 semSim (1/ZeroKL over signatures,
-        # SemanticSignatureEL.java:806) carried as TWO features, but
-        # computed by the fused one-pass kernel: the (pair ×
-        # signature-node) join is the feature stage's biggest
-        # intermediate, and the separate kernels shuffled it three
-        # times (cosine + KL per direction) for one set of rows
-        sig_feats = stage(
-            "sig_features",
-            lambda: ppr.signature_features(
-                node_pairs, sigs, eps=cfg.kl_eps, gamma=cfg.kl_gamma
-            ).withColumnRenamed("seed_a", "left_sid").withColumnRenamed(
-                "seed_b", "right_sid"
+        # ---- CASCADE GATE ----
+        # a pair can produce a match edge only through (a) discriminative
+        # token alignment (name_soft >= soft_gate — the reference's
+        # JW >= 0.8 fuzzy-candidate gate, CSUtils.java:53-78, strengthened
+        # to SoftTFIDF) or (b) decisive dictionary evidence (shared_prior
+        # >= prior_gate — the exact-lookup path, where both surfaces alias
+        # the same entity with high prior). This is a DELIBERATE recall
+        # trade, not a lossless prune: under the LINEAR weights a pair
+        # just below both bars could still combine to a passing score,
+        # but such pairs are overwhelmingly non-matches — the e2e F1
+        # gates (both corpus regimes, tests/test_pipeline_e2e.py) pin
+        # that the prune costs nothing measurable, and it runs BEFORE
+        # the expensive signature joins AND the remaining string
+        # features. At scale this drops ~95% of blocked pairs, and the
+        # PPR seed set shrinks to the surfaces that still matter.
+        gate_pred = F.col("name_soft") >= cfg.soft_gate
+        if shared is not None:
+            gate_pred = gate_pred | (F.col("shared_prior") >= cfg.prior_gate)
+        gated = stage("gated_pairs", lambda: feats.filter(gate_pred))
+
+        # ---- remaining string features (R2-R4/R15) on gate SURVIVORS ----
+        # only name_soft feeds the gate, so the JW UDF (the one Python
+        # feature) runs on ~5% of the blocked pairs — measured 59s → ~4s
+        # for the hottest stage at 2.7M blocked pairs on 8 cores
+        strf = stage(
+            "surface_features",
+            lambda: scoring.string_features(
+                gated.select("left_norm", "right_norm").distinct(), cfg
             ),
             ckpt=False,
         )
-        survivors = survivors.join(
-            sig_feats, ["left_sid", "right_sid"], "left"
-        ).na.fill({"sig_cosine": 0.0, "sig_kl": 0.0})
-
-    # ---- "local" context feature (WNED's 4-feature family: prior /
-    # local / semSim / nameSim — utils/Feature.java:20-38): tf-idf
-    # cosine between the surfaces' conversation contexts
-    # (TFIDF3x.java:197-228, MentionContext.java:32-91) ----
-    if cfg.use_ctx_feature:
-        from wned_spark.operators import tfidf as tfidf_ops
-
-        ctx_w = ctx_w_res()
-        ctx_pairs = survivors.select("left_sid", "right_sid").distinct()
-        ctx_sim = stage(
-            "ctx_similarity",
-            lambda: tfidf_ops.pairwise_cosine(
-                ctx_pairs, ctx_w, doc_col="sid",
-                left_col="left_sid", right_col="right_sid",
-            ),
-            ckpt=False,
+        survivors = gated.join(strf, ["left_norm", "right_norm"], "left").na.fill(
+            {"name_jw": 0.0, "name_lev": 0.0, "name_dice": 0.0}
         )
-        survivors = survivors.join(
-            ctx_sim, ["left_sid", "right_sid"], "left"
-        ).na.fill({"ctx_cosine": 0.0})
 
-    # (shared_prior already rides on the gated pairs — computed on all
-    # blocked pairs before the cascade gate, which it co-determines)
+        # ---- PPR semantic signatures (G1/G3/G5, J7/J8) ----
+        # NOTE every auxiliary feature (sig_sim, shared prior) is derived
+        # from the PERSISTED gated stage — deriving one from the already-
+        # feature-joined DataFrame would embed the other feature's whole
+        # subplan in its lineage (left joins are not prunable) and compute
+        # it twice.
+        n_edges = None
+        edges = None
+        if use_signatures:
+            edges = edges_res()
+            # the edge count gates THREE strategy choices (signature kernel,
+            # second-pass kernel, and the fast-path collect) — one probe job
+            # on the materialized hub, reused everywhere
+            n_edges = edges.count()
 
-    # ---- combine + gate (R1 / N5) ----
-    # with a trained ranker: GBT margin scoring (the north rule's
-    # learning-to-rank margin, L2RPredictor.java:31-83 recast);
-    # without: LINEAR hand-weight combination (the reference's shipped
-    # default, WNEDConfig.java:175)
-    if ranker is not None:
-        from wned_spark.operators import l2r
+            def _sigs():
+                seeds = (
+                    gated.select(F.col("left_sid").alias("seed"))
+                    .union(gated.select(F.col("right_sid").alias("seed")))
+                    .distinct()
+                )
+                if n_edges <= cfg.ppr_broadcast_max_edges:
+                    return ppr.personalized_pagerank_broadcast(
+                        seeds, edges, cfg, max_degree=cfg.ppr_max_degree
+                    )
+                return ppr.personalized_pagerank(
+                    seeds, edges, cfg, check_delta=cfg.ppr_check_delta,
+                    symmetric=True, max_degree=cfg.ppr_max_degree,
+                )
 
-        scored = stage("scored_pairs", lambda: l2r.score_with_model(survivors, ranker, cfg))
-    else:
-        scored = stage("scored_pairs", lambda: scoring.combine_scores(survivors, cfg))
+            sigs = stage("ppr_signatures", _sigs)
+            node_pairs = gated.select(
+                F.col("left_sid").alias("seed_a"), F.col("right_sid").alias("seed_b")
+            ).distinct()
+            # R6 cosine + R7 semSim (1/ZeroKL over signatures,
+            # SemanticSignatureEL.java:806) carried as TWO features, but
+            # computed by the fused one-pass kernel: the (pair ×
+            # signature-node) join is the feature stage's biggest
+            # intermediate, and the separate kernels shuffled it three
+            # times (cosine + KL per direction) for one set of rows
+            sig_feats = stage(
+                "sig_features",
+                lambda: ppr.signature_features(
+                    node_pairs, sigs, eps=cfg.kl_eps, gamma=cfg.kl_gamma
+                ).withColumnRenamed("seed_a", "left_sid").withColumnRenamed(
+                    "seed_b", "right_sid"
+                ),
+                ckpt=False,
+            )
+            survivors = survivors.join(
+                sig_feats, ["left_sid", "right_sid"], "left"
+            ).na.fill({"sig_cosine": 0.0, "sig_kl": 0.0})
 
-    # ---- match edges → connected components on the surface graph (G8) ----
-    def _surface_clusters():
-        # (name_soft >= soft_gate already enforced by the cascade)
-        if nil_model is not None:
-            # N6 trained gate (NILPredictor.java:24-62 recast): the
-            # logistic head's P(match) >= 0.5 boundary replaces the
-            # fixed threshold — see l2r.train_nil_head
-            from wned_spark.operators import l2r as _l2r
+        # ---- "local" context feature (WNED's 4-feature family: prior /
+        # local / semSim / nameSim — utils/Feature.java:20-38): tf-idf
+        # cosine between the surfaces' conversation contexts
+        # (TFIDF3x.java:197-228, MentionContext.java:32-91) ----
+        if cfg.use_ctx_feature:
+            from wned_spark.operators import tfidf as tfidf_ops
 
-            kept = _l2r.apply_nil_head(scored, nil_model)
+            ctx_w = ctx_w_res()
+            ctx_pairs = survivors.select("left_sid", "right_sid").distinct()
+            ctx_sim = stage(
+                "ctx_similarity",
+                lambda: tfidf_ops.pairwise_cosine(
+                    ctx_pairs, ctx_w, doc_col="sid",
+                    left_col="left_sid", right_col="right_sid",
+                ),
+                ckpt=False,
+            )
+            survivors = survivors.join(
+                ctx_sim, ["left_sid", "right_sid"], "left"
+            ).na.fill({"ctx_cosine": 0.0})
+
+        # (shared_prior already rides on the gated pairs — computed on all
+        # blocked pairs before the cascade gate, which it co-determines)
+
+        # ---- combine + gate (R1 / N5) ----
+        # with a trained ranker: GBT margin scoring (the north rule's
+        # learning-to-rank margin, L2RPredictor.java:31-83 recast);
+        # without: LINEAR hand-weight combination (the reference's shipped
+        # default, WNEDConfig.java:175)
+        if ranker is not None:
+            from wned_spark.operators import l2r
+
+            scored = stage("scored_pairs", lambda: l2r.score_with_model(survivors, ranker, cfg))
         else:
-            kept = scored.filter(F.col("score") >= cfg.match_threshold)
-        edges_m = kept.select(
-            F.col("left_sid").alias("u"), F.col("right_sid").alias("v")
-        )
-        comp = cc.connected_components_auto(edges_m, cfg.cc_max_iter)
-        return (
-            surfaces.select(F.col("sid").alias("node"), "sn")
-            .join(comp, "node", "left")
-            .select(
-                F.col("node").alias("sid"),
-                "sn",
-                F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+            scored = stage("scored_pairs", lambda: scoring.combine_scores(survivors, cfg))
+
+        # ---- match edges → connected components on the surface graph (G8) ----
+        def _surface_clusters():
+            # (the cascade admitted each pair via name_soft OR
+            # shared_prior; the score threshold below is the only
+            # match bar at this point)
+            if nil_model is not None:
+                # N6 trained gate (NILPredictor.java:24-62 recast): the
+                # logistic head's P(match) >= 0.5 boundary replaces the
+                # fixed threshold — see l2r.train_nil_head
+                from wned_spark.operators import l2r as _l2r
+
+                kept = _l2r.apply_nil_head(scored, nil_model)
+            else:
+                kept = scored.filter(F.col("score") >= cfg.match_threshold)
+            edges_m = kept.select(
+                F.col("left_sid").alias("u"), F.col("right_sid").alias("v")
             )
-        )
+            comp = cc.connected_components_auto(edges_m, cfg.cc_max_iter)
+            return (
+                surfaces.select(F.col("sid").alias("node"), "sn")
+                .join(comp, "node", "left")
+                .select(
+                    F.col("node").alias("sid"),
+                    "sn",
+                    F.coalesce(F.col("component"), F.col("node")).alias("cluster_id"),
+                )
+            )
 
-    surface_clusters = stage("surface_clusters", _surface_clusters)
+        surface_clusters = stage("surface_clusters", _surface_clusters)
 
-    # ---- mention-level second pass over AMBIGUOUS surfaces (G6) ----
-    # a surface whose candidate set spans several entities (the planted
-    # acronym case) cannot be split at surface level; its mentions are
-    # re-assigned per conversation by signature argmax. Sized by the
-    # ambiguous slice only — see operators/disambig.py.
-    overrides = None
-    if use_signatures and alias_raw is not None and cfg.use_second_pass:
-        from wned_spark.operators import disambig
+        # ---- mention-level second pass over AMBIGUOUS surfaces (G6) ----
+        # a surface whose candidate set spans several entities (the planted
+        # acronym case) cannot be split at surface level; its mentions are
+        # re-assigned per conversation by signature argmax. Sized by the
+        # ambiguous slice only — see operators/disambig.py.
+        overrides = None
+        if use_signatures and alias_raw is not None and cfg.use_second_pass:
+            from wned_spark.operators import disambig
 
-        overrides = stage(
-            "ambiguity_overrides",
-            lambda: disambig.second_pass_overrides(
-                mentions, cands, edges, surface_clusters, cfg, n_edges=n_edges
-            ),
-        )
-
-    # ---- mention assignment: one equi-join on the surface key ----
-    def _clusters():
-        key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
-        # no broadcast hint: the dictionary usually fits (AQE broadcasts
-        # it automatically below the threshold) but at 10^7+ surfaces a
-        # sort-merge join is the right plan and the hint would force a
-        # driver OOM instead
-        base = mentions.select(
-            "mention_id", F.xxhash64(F.col(key_col)).alias("sid")
-        ).join(
-            surface_clusters.select("sid", "cluster_id"), "sid"
-        ).select("mention_id", "cluster_id")
-        if overrides is None:
-            return base
-        ov = overrides.select(
-            "mention_id", F.col("cluster_id").alias("cluster_override")
-        )
-        return (
-            base.join(ov, "mention_id", "left")
-            .select(
-                "mention_id",
-                F.coalesce(F.col("cluster_override"), F.col("cluster_id")).alias(
-                    "cluster_id"
+            overrides = stage(
+                "ambiguity_overrides",
+                lambda: disambig.second_pass_overrides(
+                    mentions, cands, edges, surface_clusters, cfg, n_edges=n_edges
                 ),
             )
-        )
 
-    clusters = stage("clusters", _clusters)
+        # ---- mention assignment: one equi-join on the surface key ----
+        def _clusters():
+            key_col = "canon_norm" if "canon_norm" in mentions.columns else "surface_norm"
+            # no broadcast hint: the dictionary usually fits (AQE broadcasts
+            # it automatically below the threshold) but at 10^7+ surfaces a
+            # sort-merge join is the right plan and the hint would force a
+            # driver OOM instead
+            base = mentions.select(
+                "mention_id", F.xxhash64(F.col(key_col)).alias("sid")
+            ).join(
+                surface_clusters.select("sid", "cluster_id"), "sid"
+            ).select("mention_id", "cluster_id")
+            if overrides is None:
+                return base
+            ov = overrides.select(
+                "mention_id", F.col("cluster_id").alias("cluster_override")
+            )
+            return (
+                base.join(ov, "mention_id", "left")
+                .select(
+                    "mention_id",
+                    F.coalesce(F.col("cluster_override"), F.col("cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
 
-    # ---- evaluation (test harness only — quadratic mention pairs) ----
-    metrics: dict = {}
-    if gold_mentions is not None:
-        mention_pairs = blocking.candidate_pairs(mentions, cfg)
-        gold_keyed = gold_mentions.select(
-            F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"), "entity_id"
-        )
-        labeled = label_pairs(mention_pairs.select("left_id", "right_id"), gold_keyed)
-        cl_ = clusters.select(F.col("mention_id").alias("left_id"), F.col("cluster_id").alias("cl_l"))
-        cr_ = clusters.select(F.col("mention_id").alias("right_id"), F.col("cluster_id").alias("cl_r"))
-        labeled = (
-            labeled.join(cl_, "left_id")
-            .join(cr_, "right_id")
-            .withColumn("predicted", F.col("cl_l") == F.col("cl_r"))
-        )
-        metrics = pairwise_prf(labeled)
+        clusters = stage("clusters", _clusters)
 
-    if _pool is not None:
-        _pool.shutdown(wait=True)
-    return PipelineResult(
-        mentions=mentions,
-        pairs=pairs,
-        scored=scored,
-        surface_clusters=surface_clusters,
-        clusters=clusters,
-        metrics=metrics,
-    )
+        # ---- evaluation (test harness only — quadratic mention pairs) ----
+        metrics: dict = {}
+        if gold_mentions is not None:
+            mention_pairs = blocking.candidate_pairs(mentions, cfg)
+            gold_keyed = gold_mentions.select(
+                F.xxhash64("conv_id", "turn_idx", "start").alias("mention_id"), "entity_id"
+            )
+            labeled = label_pairs(mention_pairs.select("left_id", "right_id"), gold_keyed)
+            cl_ = clusters.select(F.col("mention_id").alias("left_id"), F.col("cluster_id").alias("cl_l"))
+            cr_ = clusters.select(F.col("mention_id").alias("right_id"), F.col("cluster_id").alias("cl_r"))
+            labeled = (
+                labeled.join(cl_, "left_id")
+                .join(cr_, "right_id")
+                .withColumn("predicted", F.col("cl_l") == F.col("cl_r"))
+            )
+            metrics = pairwise_prf(labeled)
+
+        return PipelineResult(
+            mentions=mentions,
+            pairs=pairs,
+            scored=scored,
+            surface_clusters=surface_clusters,
+            clusters=clusters,
+            metrics=metrics,
+        )
+    finally:
+        if _pool is not None:
+            _pool.shutdown(wait=False, cancel_futures=True)
