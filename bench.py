@@ -148,26 +148,42 @@ def main() -> None:
         )
         tr_l = corpus_l["transcripts"].persist()
         n_turns_l = tr_l.count()
-        release_pipeline_caches(tr_l)
-        t0 = time.time()
-        res_l = run_er_pipeline(
-            spark, tr_l, alias_raw=corpus_l["alias_raw"], cfg=ERConfig()
-        )
-        run_noop(res_l.clusters)
-        sec_l = round(time.time() - t0, 3)
+        # two samples, min reported (both disclosed): a single run is
+        # exposed to one-sided host-interference bursts, and the floor
+        # is the engine number this block exists to disclose
+        samples_l = []
+        for _rep in range(2):
+            release_pipeline_caches(tr_l)
+            t0 = time.time()
+            res_l = run_er_pipeline(
+                spark, tr_l, alias_raw=corpus_l["alias_raw"], cfg=ERConfig()
+            )
+            run_noop(res_l.clusters)
+            samples_l.append(round(time.time() - t0, 3))
         tr_l.unpersist()
+        sec_l = min(samples_l)
         large = {
             "turns": n_turns_l,
             "sec": sec_l,
             "turns_per_sec": round(n_turns_l / sec_l, 2),
+            "samples": samples_l,
         }
 
+    all_samples = {"er_pipeline": er_samples, **samples}
     out = {
         "metric": "headline_suite_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "samples": {"er_pipeline": er_samples, **samples},
+        "samples": all_samples,
+        # the sandbox host shows intermittent one-sided interference
+        # bursts (only ever ADD wall time; observed 1.3-3x for minutes
+        # at a time, vmstat steal=0 — see BENCH_scaling_r04.json's
+        # final_code_validation disclosure). Medians are the protocol
+        # statistic; the per-query floors below are the noise-robust
+        # engine numbers when a burst covers a whole repetition window.
+        "queries_floor": {k: min(v) for k, v in all_samples.items()},
+        "value_floor": round(sum(min(v) for v in all_samples.values()), 3),
         "protocol": "1 warm-up pass + median of 3 alternated repetitions (flagship included: warm-up + median of 3)",
         "sf": sf,
         "cpus": cpus,
