@@ -76,3 +76,27 @@ def test_soft_tfidf_relational_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Generate posexplode" in plan or "Generate explode" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_fused_signature_features_plan_shape(spark):
+    """The fused R6+R7 kernel must keep the (pair × signature-node)
+    join single-pass: exactly ONE aggregate pyramid (partial + final of
+    the fused groupBy) over one full-outer node join, no cartesian —
+    the point of the fusion is paying that shuffle once, not three
+    times as the composed single-feature kernels did."""
+    import re
+
+    from pyspark.sql import Row
+
+    from wned_spark.operators.ppr import signature_features
+
+    sigs = spark.createDataFrame(
+        [Row(seed=1, node=1, rank=0.6), Row(seed=1, node=2, rank=0.4),
+         Row(seed=2, node=2, rank=1.0)]
+    )
+    pairs = spark.createDataFrame([Row(seed_a=1, seed_b=2)])
+    plan = signature_features(pairs, sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+    aggs = re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)
+    assert len(aggs) == 2, (len(aggs), plan)
