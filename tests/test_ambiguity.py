@@ -202,6 +202,47 @@ def test_parenthetical_definition_mining(spark):
     assert canon[("c2", "USA")] == "united states of america"
 
 
+def test_definition_backward_scan_reference_window():
+    """R10 backward-scan stop-condition parity (VERDICT r4 item #4;
+    MentionExpansion.java:749-776): the candidate window is capped at
+    min(|A|+5, 2|A|) tokens, stops at punctuation, and stops once more
+    than three stopword-class tokens have been scanned (the code's
+    ``numStopwords > 3`` — its comment says two, the code wins).
+
+    Pins: (a) a 4-char acronym whose definition needs a 7-token window
+    (3 function words interleaved) — the pre-round-5 k..k+2 scan
+    missed it; (b) a sentence boundary ('.') truncates the scan, so an
+    acronym spelling words ACROSS the period is NOT mined; (c) the
+    2|A| cap: a 2-char acronym cannot reach a 5-token long form."""
+    from wned_spark.operators.mentions import _mine_one
+
+    # (a) |A|+5 window with function-word stepping: 7 tokens, 3 stops
+    got = _mine_one("Alpha of the Beta for Culture District (ABCD) rules.")
+    assert {(d["acr"], d["definition"]) for d in got} == {
+        ("ABCD", "Alpha of the Beta for Culture District")
+    }
+    # (b) punctuation stop: 'Delta Echo' is across a sentence boundary
+    assert _mine_one("Delta Echo. Foxtrot Gulf (DEFG) rules.") == []
+    # but within one sentence the same spelling IS mined
+    assert _mine_one("Delta Echo Foxtrot Gulf (DEFG) rules.") != []
+    # (c) maxWin = min(|A|+5, 2|A|) = 4 for a 2-char acronym: a 5-token
+    # long form is out of reach even though its initials spell it
+    assert _mine_one("Alpha of the for Beta (AB) rules.") == []
+    # (the same long form fits a 3-char acronym's window of 6)
+    got = _mine_one("Alpha of the Beta Culture (ABC) rules.")
+    assert {(d["acr"], d["definition"]) for d in got} == {
+        ("ABC", "Alpha of the Beta Culture")
+    }
+    # stopword-count stop: the fourth function word ends the scan
+    # before the spelling word ('Society' here) is reached
+    assert (
+        _mine_one(
+            "Society for the Prevention of Cruelty to Animals (SPCA) met."
+        )
+        == []
+    )
+
+
 def test_second_pass_unambiguous_dictionary_early_exit(spark):
     """When no dictionary surface has >1 candidate entity, the second
     pass must return an empty, correctly-typed override table straight

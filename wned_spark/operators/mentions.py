@@ -184,35 +184,88 @@ def _spells(win, acr: str) -> bool:
     )
 
 
+# words + single punctuation marks, so the backward scan can observe
+# the reference's punctuation stop condition (a pure `\w`-word findall
+# would silently walk across sentence boundaries). Periods stay inside
+# a word only when followed by a letter ("U.S.A" stays one token); a
+# sentence-final period tokenizes separately so it can stop the scan.
+_SCAN_TOKEN_RE = re.compile(
+    r"[A-Za-z](?:[A-Za-z]|\.(?=[A-Za-z]))*|\d+|[^\sA-Za-z\d]"
+)
+
+
+def _scan_window(tokens, k: int):
+    """The reference's backward-scan window
+    (``cs/MentionExpansion.java:749-776``): walk backward from the
+    paren over at most ``maxWin = min(|A|+5, 2|A|)`` tokens, stopping
+    at a punctuation token (no letter/digit/apostrophe —
+    ``isPunctuation``, :225-245) or once MORE THAN THREE stopword-class
+    tokens have been scanned (``numStopwords > 3``, :774 — the file's
+    comment says "two stop words" but the code breaks on the fourth; we
+    follow the code). Digit tokens count as stopwords (the reference's
+    ``isStopword(Token)`` treats POS CD as a stopword, :259-264).
+    Returns the scanned WORD tokens in text order."""
+    maxwin = min(k + 5, 2 * k)
+    span = []
+    num_stop = 0
+    scanned = 0
+    for tok in reversed(tokens):
+        if tok == "'":
+            continue  # apostrophe is NOT punctuation per isPunctuation
+        scanned += 1
+        if scanned > maxwin:
+            break
+        is_word = tok[0].isalpha()
+        if not is_word and not tok[0].isdigit():
+            break  # punctuation stop
+        if not is_word or tok.lower() in _DEF_STOP:
+            num_stop += 1  # digit runs count as CD-class stopwords
+            if num_stop > 3:
+                break
+        if is_word:
+            span.append(tok)
+    span.reverse()
+    return span
+
+
 def _mine_one(text: str):
     out = []
     for m in _PAREN_GROUP_RE.finditer(text):
         inner = m.group(1).strip()
-        before = _WORD_RE.findall(text[: m.start()])
+        before = _SCAN_TOKEN_RE.findall(text[: m.start()])
+        before_words = [t for t in before if t[0].isalpha()]
         if _ACR_TOKEN_RE.match(inner):
-            # "full form (ACR)": backward token scan from the paren
+            # "full form (ACR)": backward token scan from the paren,
+            # window capped per MentionExpansion.java:756 — try every
+            # suffix length from |A| up to the scanned span, shortest
+            # spelling window wins
             acr = inner.lower()
             k = len(acr)
-            for extra in range(3):
-                if k + extra > len(before):
-                    break
-                win = before[-(k + extra):]
+            win_all = _scan_window(before, k)
+            for length in range(k, len(win_all) + 1):
+                win = win_all[-length:]
                 if _spells(win, acr):
                     out.append({"acr": inner, "definition": " ".join(win)})
                     break
-        elif before and _ACR_TOKEN_RE.match(before[-1]):
-            # "ACR (full form)": forward scan inside the paren
+        elif before_words and _ACR_TOKEN_RE.match(before_words[-1]) and (
+            not before or before[-1][0].isalpha()
+        ):
+            # "ACR (full form)": forward scan inside the paren (the
+            # reference takes the whole group gated by abbrevSim,
+            # MentionExpansion.java:984-997; we keep the stricter
+            # initials-spelling acceptance, same maxWin cap)
             inner_toks = _WORD_RE.findall(inner)
-            acr = before[-1].lower()
+            acr = before_words[-1].lower()
             k = len(acr)
+            maxwin = min(k + 5, 2 * k)
             if len(inner_toks) < 2:
                 continue
-            for extra in range(3):
-                if k + extra > len(inner_toks):
-                    break
-                win = inner_toks[: k + extra]
+            for length in range(k, min(maxwin, len(inner_toks)) + 1):
+                win = inner_toks[:length]
                 if _spells(win, acr):
-                    out.append({"acr": before[-1], "definition": " ".join(win)})
+                    out.append(
+                        {"acr": before_words[-1], "definition": " ".join(win)}
+                    )
                     break
     return out
 
@@ -245,9 +298,15 @@ def mine_parenthetical_definitions(transcripts: DataFrame) -> DataFrame:
     A native ``rlike`` prefilter keeps turns with no parenthesized
     group out of the Python stage entirely (the UDF would return []
     for them anyway) — on typical corpora that is most of the rows,
-    so the Arrow traffic shrinks to the pattern-bearing slice."""
+    so the Arrow traffic shrinks to the pattern-bearing slice. The
+    prefilter bound is a STRICT over-approximation of the UDF's
+    {1,80}: Java regex quantifiers count UTF-16 code units while
+    Python's count code points, so a group of ≤80 code points can
+    span up to 160 UTF-16 units when every char is astral — the wider
+    bound guarantees the prefilter never rejects a row the UDF would
+    mine."""
     rows = transcripts.filter(
-        F.col("text").rlike(r"\([^()]{1,80}\)")
+        F.col("text").rlike(r"\([^()]{1,160}\)")
     ).select("conv_id", F.explode(_mine_defs_udf(F.col("text"))).alias("d"))
     return rows.select(
         "conv_id",
