@@ -50,7 +50,53 @@ def test_exact_dedup_on_planted_duplicates(spark):
     out = dedup.exact_duplicates(spark.createDataFrame(rows)).collect()
     assert len(out) == 1
     assert out[0]["group_size"] == 2
-    assert out[0]["doc_ids"] == [1, 2]
+    assert out[0]["representative"] == 1
+
+
+def test_exact_dedup_adversarial_single_digest(spark):
+    """A million rows sharing ONE digest must produce one bounded row
+    (count + min are constant-size agg states) — the earlier
+    collect_list(doc_ids) variant built the whole membership into a
+    single unbounded array (VERDICT r4 wrong-item #3)."""
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"), F.lit("same  text").alias("text")
+    )
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["group_size"] == 1_000_000
+    assert out[0]["representative"] == 0
+
+
+def test_ngram_jaccard_df_cap_is_pure_recall_trade(spark):
+    """max_shingle_df drops corpus-hot shingles from the self-join
+    ONLY: sizes stay exact, so capped Jaccard can only understate —
+    pairs may be missed (recall trade) but never invented or inflated
+    (precision intact). Planted: 30 docs sharing one hot trigram
+    (df=30) plus one true near-dup pair on df=2 shingles."""
+    rows = [
+        Row(doc_id=i, text=f"alpha beta gamma u{i} f{i} t{i}") for i in range(30)
+    ] + [
+        Row(doc_id=100, text="x y z w v uu"),
+        Row(doc_id=101, text="x y z w v qq"),
+    ]
+    docs = spark.createDataFrame(rows)
+    uncapped = {
+        (r["left_doc"], r["right_doc"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["left_doc"], r["right_doc"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=5
+        ).collect()
+    }
+    # the near-dup pair's shingles all have df=2 <= 5: unaffected
+    assert capped == uncapped == {(100, 101): pytest.approx(3 / 5)}
+    # cap=1 kills even that pair's shared shingles: recall trade, empty
+    assert (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=1).count()
+        == 0
+    )
 
 
 def test_simhash_identical_docs_distance_zero(spark):
@@ -315,6 +361,31 @@ def test_multimodal_features_short_and_empty_payloads(spark):
     expected = [float(c.mean()) for c in np.array_split(np.arange(64), 8)]
     assert out[2] == pytest.approx(expected, abs=1e-6)
     assert all(v is None for v in out[3])
+
+
+def test_ivf_auto_centroids_scale_with_corpus(spark):
+    """VERDICT r4 item #5: the DEFAULT centroid count must grow with
+    the corpus so default cell occupancy stays ~target_cell at any n
+    (a fixed k makes the default cell n/k — quadratic probe cost at
+    scale). Pins the sizing formula and the trained cell-count growth
+    at two corpus sizes."""
+    assert ann.auto_n_centroids(1_000) == 16           # floor
+    assert ann.auto_n_centroids(16_384) == 64          # 16384/256
+    assert ann.auto_n_centroids(1_048_576) == 4_096
+    assert ann.auto_n_centroids(10**12) == 65_536      # ceiling
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[((F.col("id") * (i + 3)) % 97).cast("double") for i in range(8)]
+            ).alias("embedding"),
+        )
+
+    C_small = ann.train_ivf_centroids(corpus(4_096))
+    C_large = ann.train_ivf_centroids(corpus(25_600))
+    assert C_small.shape[0] == 16
+    assert C_large.shape[0] == 100  # 25600/256: grew with the corpus
 
 
 def test_ann_ivf_empty_corpus(spark):

@@ -137,9 +137,22 @@ def cosine_topk_lsh(
     )
 
 
+def auto_n_centroids(corpus_size: int, target_cell: int = 256) -> int:
+    """Scale-safe IVF cell count: grow with the corpus so the default
+    cell occupancy stays ~``target_cell`` at ANY n (a FIXED centroid
+    count makes the default cell n/k — quadratic probe cost at scale),
+    clamped to [16, 65536]. Same convention as
+    :func:`wned_spark.operators.dedup.embedding_near_duplicates`,
+    which sizes its hyperplane count from the corpus for the same
+    reason."""
+    import math
+
+    return max(16, min(65_536, math.ceil(max(1, corpus_size) / target_cell)))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_limit: int = 100_000,
@@ -150,11 +163,17 @@ def train_ivf_centroids(
     evenly-spaced init over the sorted sample — no RNG, so the index
     is identical across runs and parallelism levels).
 
+    ``n_centroids=None`` (the default) sizes the cell count from the
+    corpus via :func:`auto_n_centroids`, so default cell occupancy is
+    bounded regardless of corpus size.
+
     Standard IVF practice at any scale: centroids come from a sample
     that fits one machine (FAISS trains on ~256·n_centroids points);
     only the ASSIGNMENT pass touches the full corpus, and that runs
     distributed. Returns a unit-normalized (n_centroids × d) ndarray.
     """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
     tbl = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
@@ -190,7 +209,7 @@ def cosine_topk_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     centroids=None,
 ) -> DataFrame:
@@ -201,7 +220,9 @@ def cosine_topk_ivf(
     exact cosine. Fan-out per query is bounded by
     ``n_probe/n_centroids`` of the corpus instead of |C| — the standard
     ANN scale path alongside the RP-LSH tables, with recall controlled
-    by n_probe rather than table count."""
+    by n_probe rather than table count. ``n_centroids=None`` (default)
+    auto-sizes via :func:`auto_n_centroids` so the default cell stays
+    ~``target_cell`` rows at any corpus size."""
     from pyspark.sql import types as T
 
     C = centroids if centroids is not None else train_ivf_centroids(

@@ -33,14 +33,25 @@ def word_shingles(col, n: int = 3):
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: md5 of the whitespace-normalized lowercased text;
-    returns (digest, group_size, doc_ids) for groups with >1 member."""
+    returns (digest, group_size, representative) for groups with >1
+    member, where ``representative`` is the group's min id.
+
+    SCALE DESIGN: the aggregate carries only COUNT + MIN per digest —
+    both map-side combinable constant-size states — so a pathological
+    corpus where billions of rows share one digest still produces a
+    bounded row (an earlier ``collect_list(doc_ids)`` variant built
+    that group's entire membership into a single unbounded array).
+    Callers that need members join back on the digest::
+
+        members = docs.withColumn("digest", md5(norm)).join(dups, "digest")
+    """
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
         docs.select(F.col(id_col), F.md5(norm).alias("digest"))
         .groupBy("digest")
         .agg(
             F.count("*").alias("group_size"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("representative"),
         )
         .filter(F.col("group_size") > 1)
     )
@@ -52,18 +63,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold,
     computed RELATIONALLY (explode → shingle join → group) so it scales
     without materializing per-doc arrays on the driver:
 
         inter(a,b) = #shared shingles;  J = inter / (|A|+|B|-inter)
-    """
+
+    This is the EXACTNESS ORACLE for the LSH paths; a corpus-frequent
+    shingle is a hot join key whose block is quadratic in its document
+    frequency. ``max_shingle_df`` caps that (mirroring blocking's
+    ``drop_block_size``): shingles appearing in more than that many
+    docs are dropped from the self-join only — doc sizes stay exact, so
+    the intersection can only be UNDERcounted and Jaccard UNDERstated.
+    That makes the cap a pure recall trade (pairs held together solely
+    by corpus-common shingles may be missed) with precision intact; the
+    default ``None`` keeps the operator exact for oracle use."""
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     ).distinct()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = (
+            sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "sh")
+            .select("doc", "sh")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "sh")

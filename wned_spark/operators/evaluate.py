@@ -75,6 +75,40 @@ def label_pairs(pairs: DataFrame, gold_mentions_keyed: DataFrame) -> DataFrame:
     )
 
 
+def macro_accuracy(
+    labeled: DataFrame,
+    group_col: str = "conv_id",
+    predicted_col: str = "predicted",
+    gold_col: str = "is_match",
+) -> DataFrame:
+    """A8 macro variant (``experiment/Evaluation.java:86-153``): the
+    reference logs per-document accuracy (``correct/query`` per doc)
+    and macro-averages across documents; here each group of
+    ``group_col`` is one document.
+
+    Returns per-group rows (doc, queries, correct, accuracy_ppm) with
+    the macro average attached as ``macro_accuracy_ppm`` (identical on
+    every row). Accuracies are exact INTEGER parts-per-million — the
+    same cross-engine determinism trick as the pairwise harness.
+    The macro scalar rides a one-row broadcast crossJoin (the repo's
+    standard pattern for global-stat attachment, cf. tfidf.py), not a
+    global window, so no single-partition sort appears at scale."""
+    per = (
+        labeled.groupBy(F.col(group_col).alias("doc"))
+        .agg(
+            F.count("*").alias("queries"),
+            F.sum(
+                F.when(F.col(predicted_col) == F.col(gold_col), 1).otherwise(0)
+            ).alias("correct"),
+        )
+        .withColumn("accuracy_ppm", F.expr("div(correct * 1000000, queries)"))
+    )
+    macro = per.agg(
+        F.expr("div(sum(accuracy_ppm), count(1))").alias("macro_accuracy_ppm")
+    )
+    return per.crossJoin(F.broadcast(macro))
+
+
 def pairwise_prf(labeled: DataFrame, predicted_col: str = "predicted") -> dict:
     """labeled(is_match, <predicted_col>) → {precision, recall, f1, tp, fp, fn}."""
     row = labeled.agg(
