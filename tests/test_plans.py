@@ -98,5 +98,10 @@ def test_fused_signature_features_plan_shape(spark):
     plan = signature_features(pairs, sigs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "FullOuter" in plan, plan
+    # ONE logical aggregate pyramid renders as <= 2 physical aggregate
+    # operators (partial + final); the pre-fusion three-kernel shape
+    # rendered >= 4. Upper-bound (not exact-count) so a harmless
+    # planner change (ObjectHashAggregate fallback, AQE re-render)
+    # can't fail the suite without a real extra shuffle appearing.
     aggs = re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)
-    assert len(aggs) == 2, (len(aggs), plan)
+    assert 1 <= len(aggs) <= 2, (len(aggs), plan)

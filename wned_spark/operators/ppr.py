@@ -361,6 +361,14 @@ def signature_features(
     falls out of the join entirely and is restored by the final left
     join with (0, 1/(1+gamma)). The standalone kernels remain the
     driver-oracle surface (r7_zero_kl) and the second-pass scorer.
+
+    PRECONDITION: ``pairs`` must be DISTINCT on (seed_a, seed_b). A
+    duplicated pair turns the full-outer join into a per-key cross
+    product, QUADRATICALLY inflating the dot/norm/KL sums (worse than
+    the standalone kernels, whose inflation is linear). The pipeline
+    satisfies this by construction (``.distinct()`` before the call);
+    external callers must too — the kernel does not re-distinct
+    internally to avoid paying a redundant shuffle on the common path.
     """
     from wned_spark.functions.similarity import cosine_expr
 

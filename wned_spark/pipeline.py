@@ -179,12 +179,17 @@ def run_er_pipeline(
 
         _pool = ThreadPoolExecutor(max_workers=3)
 
-    # worker threads must not outlive the call on ANY exit: a failed
-    # stage propagating mid-build would otherwise leak up to 3 live
-    # non-daemon threads still submitting Spark jobs. On the happy
-    # path every future is already resolved, so shutdown is instant;
-    # on error, wait=False + cancel_futures avoids blocking on a
-    # still-running sibling stage.
+    # worker threads must not keep doing WORK past the call on ANY
+    # exit: shutdown(cancel_futures=True) drops queued stages, and
+    # every worker stage runs under a dedicated job group (thread-local
+    # under PySpark's pinned-thread mode) that the finally cancels — a
+    # stage already executing when an exception propagates has its
+    # in-flight Spark jobs killed rather than left to drain. The
+    # worker THREAD itself may briefly outlive the call while its
+    # cancelled job raises, but it submits nothing further. On the
+    # happy path every future is already resolved, so shutdown is
+    # instant and the group cancel is a no-op.
+    _JOB_GROUP = "wned-hub-pool"
     try:
         def _submit(name: str, fn, ckpt: bool = True):
             """Run a stage on a worker thread (materialized on return);
@@ -194,6 +199,9 @@ def run_er_pipeline(
                 return lambda: d
 
             def _build():
+                spark.sparkContext.setJobGroup(
+                    _JOB_GROUP, f"hub stage: {name}", interruptOnCancel=False
+                )
                 d = stage(name, fn, ckpt=ckpt)
                 if not ckpt:
                     d.count()  # force the persist on THIS thread
@@ -511,3 +519,6 @@ def run_er_pipeline(
     finally:
         if _pool is not None:
             _pool.shutdown(wait=False, cancel_futures=True)
+            # kill any worker stage still executing (no-op when all
+            # futures resolved — completed jobs are not in the group)
+            spark.sparkContext.cancelJobGroup(_JOB_GROUP)
