@@ -98,6 +98,94 @@ def start_cluster() -> None:
     time.sleep(10)
 
 
+class InterferenceProbe:
+    """In-run host-interference detector (round-5 sample gating).
+
+    Round 4's final-code validation was polluted by an external
+    interference window that a before/after check could not see; this
+    probe times a FIXED unit of single-thread work (CPU loop + ~100 MB
+    memcpy, GIL released during the copy) every ``interval`` seconds
+    ON A SPARE CORE while the pipeline runs. A clean tick time is
+    calibrated at start (min of 7); a timed sample is accepted only if
+    the ticks recorded during it stayed within the gate (fraction of
+    ticks slower than 1.10x clean below 15% AND median tick within
+    1.05x clean) — polluted samples are re-run, not medianed.
+
+    The probe costs ~0.2s per tick on 1 of 32 host cores while the
+    measured job uses at most 8 + driver; it perturbs the measurement
+    by well under 1% and reads near-clean unless something EXTERNAL is
+    eating CPU/bandwidth — exactly the one-sided wall-time adder
+    observed in BENCH_scaling_r04.json:final_code_validation."""
+
+    def __init__(self, interval: float = 12.0):
+        import numpy as np
+
+        # preallocated src/dst: copyto touches the same pages every
+        # tick, so a tick after a sleep costs the same as one run
+        # back-to-back (a per-tick copy() reallocation made calibration
+        # hot-cache-biased vs the in-run ticks)
+        self._src = np.arange(12_500_000, dtype=np.float64)  # ~100 MB
+        self._dst = np.empty_like(self._src)
+        self._np = np
+        self.interval = interval
+        self.ticks: list[float] = []
+        self._stop = False
+        self._thread = None
+        for _ in range(3):
+            self._tick()  # warm pages + JIT-free steady state
+        cal = []
+        for _ in range(7):
+            cal.append(self._tick())
+            time.sleep(0.3)  # calibrate under loop-like (not hot-spin) timing
+        self.clean = min(cal)
+
+    def _tick(self) -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(200_000):
+            x += i
+        self._np.copyto(self._dst, self._src)
+        self._np.copyto(self._src, self._dst)
+        return time.perf_counter() - t0
+
+    def _loop(self):
+        while not self._stop:
+            self.ticks.append(self._tick())
+            time.sleep(self.interval)
+
+    def start(self):
+        import threading
+
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=self.interval + 5)
+            self._thread = None
+
+    def window(self) -> int:
+        return len(self.ticks)
+
+    def verdict(self, start_idx: int) -> dict:
+        """Gate the ticks recorded since ``start_idx``."""
+        w = self.ticks[start_idx:]
+        if not w:
+            return {"clean": True, "n_ticks": 0, "median_ratio": None,
+                    "frac_slow": 0.0}
+        ratios = sorted(t / self.clean for t in w)
+        med = ratios[len(ratios) // 2]
+        frac_slow = sum(r > 1.10 for r in ratios) / len(ratios)
+        return {
+            "clean": bool(frac_slow <= 0.15 and med <= 1.05),
+            "n_ticks": len(w),
+            "median_ratio": round(med, 3),
+            "frac_slow": round(frac_slow, 3),
+        }
+
+
 def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
     import tempfile
 
@@ -139,12 +227,44 @@ def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
         return time.time() - t0
 
     one_run()  # warm-up: JIT + codegen caches + python worker pools
-    walls = [round(one_run(), 2) for _ in range(reps)]
+
+    # gated sampling (round 5): each timed rep must pass the in-run
+    # interference gate or it is re-run (max 2 retries per rep); every
+    # attempt is disclosed either way
+    probe = InterferenceProbe()
+    probe.start()
+    walls: list[float] = []
+    attempts: list[dict] = []
+    try:
+        for rep in range(reps):
+            for attempt in range(3):
+                w0 = probe.window()
+                wall = round(one_run(), 2)
+                v = probe.verdict(w0)
+                attempts.append({"rep": rep, "attempt": attempt,
+                                 "wall_sec": wall, **v})
+                print(f"[gate] rep={rep} attempt={attempt} wall={wall} {v}",
+                      file=sys.stderr)
+                if v["clean"]:
+                    walls.append(wall)
+                    break
+            else:
+                # never clean after 3 attempts: keep the MIN wall
+                # (interference is one-sided) and leave it flagged
+                walls.append(min(a["wall_sec"] for a in attempts
+                                 if a["rep"] == rep))
+    finally:
+        probe.stop()
     med = sorted(walls)[len(walls) // 2]
     print(json.dumps({
         "cores": cores, "executor_cores": executor_cores, "turns": n_turns,
         "walls_sec": walls, "median_wall_sec": med,
         "turns_per_sec": round(n_turns / med, 2),
+        "probe_clean_tick_sec": round(probe.clean, 4),
+        "gate": {"rule": "accept iff frac(tick>1.10x clean)<=0.15 and median tick<=1.05x clean during the sample; polluted samples re-run (<=2 retries)",
+                 "attempts": attempts,
+                 "all_accepted_clean": all(a["clean"] for a in attempts
+                                           if a["wall_sec"] in walls)},
     }))
 
 
