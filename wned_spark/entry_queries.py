@@ -1252,11 +1252,29 @@ def r10_abbrev_sim(spark, sf_dir):
     )
 
 
-@register("text_token_count_bpe", None)  # RE2 (DuckDB) lacks lookarounds
+@register(
+    "text_token_count_bpe",
+    # The Spark side splits with lookarounds, which DuckDB's RE2 cannot
+    # run — but the COUNT decomposes lookaround-free: every \w-run is a
+    # token, plus one extra token per letter<->digit adjacency (each
+    # splits a run), plus every punct char (each is its own token).
+    # Java regex and RE2 both use ASCII \w/\s here, so the classes
+    # agree by construction (verified char-for-char on sf0.001+sf0.01
+    # corpora plus NBSP/accent/mixed-run probes).
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9A-Za-z_]+'))
+              + len(regexp_extract_all(text, '[A-Za-z][0-9]'))
+              + len(regexp_extract_all(text, '[0-9][A-Za-z]'))
+              + length(regexp_replace(text, '[0-9A-Za-z_\\s]', '', 'g'))
+            AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
 def text_token_count_bpe(spark, sf_dir):
-    """BPE-ish subword token estimate — the split regex uses
-    lookahead/lookbehind, which DuckDB's RE2 cannot run → rows-only;
-    pinned instead by tests/test_functions.py."""
+    """BPE-ish subword token estimate. The oracle counts tokens via the
+    boundary decomposition (runs + letter<->digit transitions + punct
+    chars) instead of replaying the lookaround split."""
     from wned_spark.functions.text import token_count_bpe_ish
 
     d = _t(spark, sf_dir, "documents")
