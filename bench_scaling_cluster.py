@@ -45,7 +45,14 @@ sys.path.insert(0, REPO)
 
 MASTER_URL = "spark://127.0.0.1:7077"
 WORK_ROOT = "/tmp/spark-standalone"
-LOCAL_DIRS = "/dev/shm/spark-local"
+# Disk-backed local dirs, NOT tmpfs: shuffle files written here are
+# page-cache-hot (RAM-speed on this idle 126 GB host) but the kernel can
+# evict them under pressure. Round 5 learned the hard way that tmpfs
+# cannot: a gate-retry-stretched N-level run (~6 pipeline runs in one
+# app) accumulated enough shuffle/localCheckpoint data on /dev/shm to
+# exhaust host RAM and the kernel OOM-killed the executor in the final
+# rep. Both levels use the same dirs, so the N->4N ratio is unaffected.
+LOCAL_DIRS = "/tmp/spark-local"
 N_WORKERS = 8
 WORKER_CORES = 4
 
@@ -208,6 +215,11 @@ def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
             # many dictionary-sized stages: a 3s locality wait per task
             # wave costs more than any data movement it avoids
             "spark.locality.wait": "0ms",
+            # drive ContextCleaner promptly: shuffle files are only
+            # unregistered when their driver-side objects are GC'd, and
+            # the 30min default lets several ~20min reps' worth of
+            # shuffle data pile up in spark.local.dir
+            "spark.cleaner.periodicGC.interval": "2min",
         },
     )
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp())
@@ -226,7 +238,23 @@ def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
         res.clusters.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def release_blocks() -> None:
+        """Untimed, between runs: drop every cached/localCheckpoint
+        block the pipeline pinned (bench.py applies the same hygiene —
+        blocks pinned by prior reps put later reps under growing
+        storage pressure), nudge the driver JVM so ContextCleaner
+        promptly unregisters dead shuffles' files from spark.local.dir,
+        then re-pin + re-materialize the input so every rep starts from
+        the identical storage state."""
+        spark.catalog.clearCache()
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(True)
+        spark.sparkContext._jvm.System.gc()
+        transcripts.persist()
+        transcripts.count()
+
     one_run()  # warm-up: JIT + codegen caches + python worker pools
+    release_blocks()
 
     # gated sampling (round 5): each timed rep must pass the in-run
     # interference gate or it is re-run (max 2 retries per rep); every
@@ -241,6 +269,7 @@ def worker(cores: int, convs: int, reps: int, executor_cores: int) -> None:
                 w0 = probe.window()
                 wall = round(one_run(), 2)
                 v = probe.verdict(w0)
+                release_blocks()  # untimed, outside the gate window
                 attempts.append({"rep": rep, "attempt": attempt,
                                  "wall_sec": wall, **v})
                 print(f"[gate] rep={rep} attempt={attempt} wall={wall} {v}",
@@ -321,13 +350,23 @@ def orchestrate(convs: int, reps: int) -> None:
     # N=2 (1×2-core executor) vs 4N=8 (4×2-core executors): multi-JVM
     # separation at both levels, inside the host's bandwidth headroom
     for cores in (2, 8):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cores", str(cores), "--convs", str(convs),
-             "--reps", str(reps), "--executor-cores", "2"],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        # stream worker output: stderr ([gate] progress lines) inherits
+        # the orchestrator's stderr live, stdout (the result JSON) goes
+        # to a per-level file — a crash mid-level can no longer swallow
+        # the samples already taken (round-5 lesson: a buffered
+        # capture_output run died 2h in with nothing recoverable)
+        lvl_path = f"{WORK_ROOT}/level_c{cores}.out"
+        with open(lvl_path, "w") as lvl:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--cores", str(cores), "--convs", str(convs),
+                 "--reps", str(reps), "--executor-cores", "2"],
+                stdout=lvl, stderr=sys.stderr, text=True, check=True,
+                cwd=REPO,
+            )
+        with open(lvl_path) as lvl:
+            line = [l for l in lvl.read().strip().splitlines()
+                    if l.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(f"cores={cores}: {results[cores]}", file=sys.stderr)
 
