@@ -379,7 +379,8 @@ def cpu_control() -> dict:
             "speedup": round(out[32] / out[8], 2)}
 
 
-def orchestrate(convs: int, reps: int) -> None:
+def orchestrate(convs: int, reps: int,
+                skip_saturation_controls: bool = False) -> None:
     start_cluster()
     results = {}
     # N=2 (1×2-core executor) vs 4N=8 (4×2-core executors): multi-JVM
@@ -411,10 +412,7 @@ def orchestrate(convs: int, reps: int) -> None:
     # pure-JVM shuffle join at 2 -> 8 cores
     ctl2 = shuffle_control(2, executor_cores=2)
     ctl8s = shuffle_control(8, executor_cores=2)
-    ctl8 = shuffle_control(8)
-    ctl32 = shuffle_control(32)
-    cpu = cpu_control()
-    print(json.dumps({
+    out = {
         "mode": "standalone-cluster multi-JVM",
         "n_level": results[2], "4n_level": results[8],
         "speedup": round(t_4n / t_n, 3),
@@ -425,14 +423,26 @@ def orchestrate(convs: int, reps: int) -> None:
             "speedup": round(ctl2["wall_sec"] / ctl8s["wall_sec"], 2),
             "efficiency": round(ctl2["wall_sec"] / ctl8s["wall_sec"] / 4.0, 2),
         },
-        "host_ceiling_controls": {
+    }
+    if skip_saturation_controls:
+        out["host_ceiling_controls"] = (
+            "skipped this run: host-saturation characterization (8 vs 32 "
+            "cores shuffle join; pure-CPU 8 vs 32 procs) is a property of "
+            "the VM, not the engine — measured identically in "
+            "BENCH_scaling_r03.json and BENCH_scaling_r04.json"
+        )
+    else:
+        ctl8 = shuffle_control(8)
+        ctl32 = shuffle_control(32)
+        cpu = cpu_control()
+        out["host_ceiling_controls"] = {
             "shuffle_join_240M_rows": {"wall_8_cores": ctl8["wall_sec"],
                                         "wall_32_cores": ctl32["wall_sec"],
                                         "speedup_8_to_32": round(
                                             ctl8["wall_sec"] / ctl32["wall_sec"], 2)},
             "pure_cpu_8_to_32_procs": cpu,
-        },
-    }))
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -442,8 +452,10 @@ if __name__ == "__main__":
     ap.add_argument("--executor-cores", type=int, default=2)
     ap.add_argument("--convs", type=int, default=60000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skip-saturation-controls", action="store_true")
     args = ap.parse_args()
     if args.worker:
         worker(args.cores, args.convs, args.reps, args.executor_cores)
     else:
-        orchestrate(args.convs, args.reps)
+        orchestrate(args.convs, args.reps,
+                    args.skip_saturation_controls)
