@@ -243,6 +243,38 @@ def test_definition_backward_scan_reference_window():
     )
 
 
+def test_definition_forward_scan_abbrevsim_fallback():
+    """R10 forward-scan acceptance parity (VERDICT r5 item #3;
+    MentionExpansion.java:984-997): for the ``ACR (full form)``
+    direction the reference accepts the WHOLE parenthetical group
+    whenever abbrevSim(name, group) > abbrevThreshold (0.3, :48) — no
+    initials-spelling requirement. Pins the imperfect-initials class
+    the strict ``_spells`` window misses: the word tokenizer splits
+    'X-ray' into two tokens, so no prefix window spells 'XYZ', but
+    extractAbbrev('X-ray Yield Zone') = 'XYZ' → abbrevSim = 1.0."""
+    from wned_spark.operators.mentions import _mine_one
+
+    got = _mine_one("The XYZ (X-ray Yield Zone) sensor shipped.")
+    assert {(d["acr"], d["definition"]) for d in got} == {
+        ("XYZ", "X-ray Yield Zone")
+    }
+    # a strict initials-spelling prefix still wins over the whole group
+    # (precise definition boundary, not the trailing junk)
+    got = _mine_one("ABC (Alpha Beta Culture rules forever) met.")
+    assert {(d["acr"], d["definition"]) for d in got} == {
+        ("ABC", "Alpha Beta Culture")
+    }
+    # unrelated group: both extraction modes score far below 0.3
+    assert _mine_one("The IRS (very long unrelated words) called.") == []
+    # single-token group reachable only via the fallback — the
+    # reference has no 2-token minimum on pattern #3 (camel-case caps
+    # drive extractAbbrev here)
+    got = _mine_one("The USB (UltraSerialBus) port.")
+    assert {(d["acr"], d["definition"]) for d in got} == {
+        ("USB", "UltraSerialBus")
+    }
+
+
 def test_second_pass_unambiguous_dictionary_early_exit(spark):
     """When no dictionary surface has >1 candidate entity, the second
     pass must return an empty, correctly-typed override table straight

@@ -163,6 +163,9 @@ _WORD_RE = re.compile(r"[A-Za-z][A-Za-z\.]*")
 _DEF_STOP = frozenset(
     {"a", "an", "and", "at", "for", "in", "of", "on", "the", "to"}
 )
+# abbrevThreshold = 0.3 (MentionExpansion.java:48) — gates the
+# forward-scan whole-group acceptance
+_ABBREV_THRESHOLD = 0.3
 
 
 def _initials(toks) -> str:
@@ -250,23 +253,35 @@ def _mine_one(text: str):
         elif before_words and _ACR_TOKEN_RE.match(before_words[-1]) and (
             not before or before[-1][0].isalpha()
         ):
-            # "ACR (full form)": forward scan inside the paren (the
-            # reference takes the whole group gated by abbrevSim,
-            # MentionExpansion.java:984-997; we keep the stricter
-            # initials-spelling acceptance, same maxWin cap)
+            # "ACR (full form)": forward scan inside the paren. Prefer
+            # the strict initials-spelling prefix window (precise
+            # definition boundary, same maxWin cap as the backward
+            # scan); when no window spells the acronym, fall back to
+            # the reference's acceptance — take the WHOLE parenthetical
+            # group gated by abbrevSim > 0.3
+            # (MentionExpansion.java:984-997 accepts matchStr whenever
+            # abbrevSim(name, matchStr) clears abbrevThreshold, :48 —
+            # which is how "XYZ (X-ray Yield Zone)"-class definitions
+            # with imperfect initials pass).
             inner_toks = _WORD_RE.findall(inner)
             acr = before_words[-1].lower()
             k = len(acr)
             maxwin = min(k + 5, 2 * k)
-            if len(inner_toks) < 2:
-                continue
-            for length in range(k, min(maxwin, len(inner_toks)) + 1):
-                win = inner_toks[:length]
-                if _spells(win, acr):
-                    out.append(
-                        {"acr": before_words[-1], "definition": " ".join(win)}
-                    )
-                    break
+            matched = False
+            if len(inner_toks) >= 2:
+                for length in range(k, min(maxwin, len(inner_toks)) + 1):
+                    win = inner_toks[:length]
+                    if _spells(win, acr):
+                        out.append(
+                            {"acr": before_words[-1], "definition": " ".join(win)}
+                        )
+                        matched = True
+                        break
+            if not matched and inner_toks:
+                from wned_spark.functions.similarity import abbrev_sim
+
+                if abbrev_sim(before_words[-1], inner) > _ABBREV_THRESHOLD:
+                    out.append({"acr": before_words[-1], "definition": inner})
     return out
 
 
