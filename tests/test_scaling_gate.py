@@ -65,8 +65,32 @@ def test_window_median_and_start_idx(probe):
     assert probe.window_median(0) == 3.0  # upper median of even window
     assert probe.window_median(2) == 9.0
     assert probe.window_median(4) is None
-    v = probe.verdict(4, ref=1.0)
-    assert v["clean"] and v["n_ticks"] == 0
+
+
+def test_short_or_empty_window_is_not_judged_clean(probe):
+    """ADVICE r5: an empty window (sample shorter than the probe
+    interval, or a dead probe thread) previously returned clean=True
+    with n_ticks=0 — a silent gate bypass. Now any window under 3
+    ticks is ungated and NOT clean."""
+    _set(probe, [1.0, 2.0, 9.0, 3.0])
+    v = probe.verdict(4, ref=1.0)  # empty window
+    assert not v["clean"] and not v["gated"] and v["n_ticks"] == 0
+    v = probe.verdict(2, ref=1.0)  # 2 ticks < 3
+    assert not v["clean"] and not v["gated"] and v["n_ticks"] == 2
+    v = probe.verdict(1, ref=3.0)  # 3 ticks: gated again
+    assert v["gated"] and v["n_ticks"] == 3
+
+
+def test_window_end_idx_excludes_release_ticks(probe):
+    """ADVICE r5: the warm-up reference window must end BEFORE
+    release_blocks() — its cache-clearing/GC ticks are non-pipeline
+    load. window_median/verdict take an end index for that."""
+    # warm-up ticks at 1.2, then two release_blocks ticks at 3.0
+    _set(probe, [1.2, 1.21, 1.19, 3.0, 3.0])
+    assert probe.window_median(0, 3) == pytest.approx(1.2)
+    assert probe.window_median(0) == pytest.approx(1.21)  # polluted view
+    v = probe.verdict(0, ref=1.2, end_idx=3)
+    assert v["clean"] and v["n_ticks"] == 3
 
 
 def test_adaptive_ref_tightens_not_loosens():
