@@ -494,6 +494,42 @@ def orchestrate(convs: int, reps: int,
     print(json.dumps(out))
 
 
+def data_scale(reps: int) -> None:
+    """VERDICT r5 #7: one 4N data-scale point — the identical pipeline
+    at FIXED 4N parallelism (8 cores, 4×2-core executors) on 240k and
+    480k conversations. Constant-term amortization says turns/sec
+    should hold or improve as the input doubles; this is the cheapest
+    remaining evidence that the 100 TB claim's throughput is
+    data-scale-stable, complementing the N→4N parallelism criterion
+    measured in BENCH_scaling_r05."""
+    start_cluster()
+    results = {}
+    for convs in (240_000, 480_000):
+        lvl_path = f"{WORK_ROOT}/level_ds_{convs}.out"
+        with open(lvl_path, "w") as lvl:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--cores", "8", "--convs", str(convs),
+                 "--reps", str(reps), "--executor-cores", "2"],
+                stdout=lvl, stderr=sys.stderr, text=True, check=True,
+                cwd=REPO,
+            )
+        with open(lvl_path) as lvl:
+            line = [l for l in lvl.read().strip().splitlines()
+                    if l.startswith("{")][-1]
+        results[convs] = json.loads(line)
+        print(f"data-scale convs={convs}: {results[convs]['turns_per_sec']} turns/s",
+              file=sys.stderr)
+    r240, r480 = results[240_000], results[480_000]
+    print(json.dumps({
+        "mode": "data-scale at fixed 4N parallelism (8 cores, 4x2-core executors, standalone multi-JVM cluster)",
+        "at_240k": r240,
+        "at_480k": r480,
+        "throughput_ratio_480k_over_240k": round(
+            r480["turns_per_sec"] / r240["turns_per_sec"], 3),
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -502,9 +538,12 @@ if __name__ == "__main__":
     ap.add_argument("--convs", type=int, default=60000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-saturation-controls", action="store_true")
+    ap.add_argument("--data-scale", action="store_true")
     args = ap.parse_args()
     if args.worker:
         worker(args.cores, args.convs, args.reps, args.executor_cores)
+    elif args.data_scale:
+        data_scale(args.reps)
     else:
         orchestrate(args.convs, args.reps,
                     args.skip_saturation_controls)

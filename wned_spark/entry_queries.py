@@ -1642,6 +1642,12 @@ def dedup_simhash(spark, sf_dir):
 
 @register("dedup_embedding", None)  # xxhash64 LSH buckets → rows-only
 def dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs. Stays rows-only for the same measured
+    reason as ann_cosine_topk_lsh: the test embeddings are near-random
+    (max off-diagonal cosine 0.51 at sf0.01, so the true pair set at
+    any dedup-grade threshold is empty or a single borderline pair) and
+    sign-LSH recall at mid-cosine can't reach 1 — planted-duplicate
+    recall >= 0.9 is pinned by tests/test_extras.py instead."""
     from wned_spark.operators.dedup import embedding_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings")
