@@ -275,6 +275,28 @@ def test_definition_forward_scan_abbrevsim_fallback():
     }
 
 
+def test_g6_registry_row_distributed_branch_parity(spark):
+    """The g6_second_pass_argmax driver row runs the size-gated driver
+    fast path at sweep scale; the DISTRIBUTED branch (broadcast-CSR /
+    join PPR + relational cosine argmax) must produce the identical
+    override set on the same planted corpus — the scale path carries
+    the same driver-oracle guarantee."""
+    import dataclasses
+
+    from wned_spark.entry_queries import g6_second_pass_argmax
+
+    SF = "/root/testdata/sf0.001"
+    fast = {tuple(r) for r in g6_second_pass_argmax(spark, SF).collect()}
+    dist_cfg = dataclasses.replace(
+        ERConfig(ppr_max_iter=3), second_pass_local_max_rows=0
+    )
+    dist = {
+        tuple(r)
+        for r in g6_second_pass_argmax(spark, SF, cfg=dist_cfg).collect()
+    }
+    assert fast == dist and len(fast) == 25
+
+
 def test_second_pass_unambiguous_dictionary_early_exit(spark):
     """When no dictionary surface has >1 candidate entity, the second
     pass must return an empty, correctly-typed override table straight

@@ -1454,7 +1454,7 @@ _G6_SQL = f"""
 
 
 @register("g6_second_pass_argmax", _G6_SQL)
-def g6_second_pass_argmax(spark, sf_dir):
+def g6_second_pass_argmax(spark, sf_dir, cfg=None):
     """G6: the conversation-signature second-pass argmax, driver-oracled
     end-to-end (VERDICT r5 #6) on a planted ambiguous corpus built from
     the nation table: surfaces 'e<i>' per nation, directed region-clique
@@ -1473,7 +1473,12 @@ def g6_second_pass_argmax(spark, sf_dir):
     ``SemanticSignatureEL.java:786-848``); the DuckDB oracle unrolls
     the identical 3-iteration power method, cosine, and argmax
     relationally on surface labels (PPR is invariant to the xxhash64
-    node relabeling, and the output carries only integer ids)."""
+    node relabeling, and the output carries only integer ids).
+
+    ``cfg`` lets tests force the DISTRIBUTED second-pass branch
+    (``second_pass_local_max_rows=0``) onto the same planted corpus —
+    the default runs the size-gated driver fast path, which is what the
+    driver sweep exercises."""
     from wned_spark.config import ERConfig
     from wned_spark.operators.disambig import second_pass_overrides
 
@@ -1529,7 +1534,8 @@ def g6_second_pass_argmax(spark, sf_dir):
         F.xxhash64("s").alias("sid"), F.col("i").cast("long").alias("cluster_id")
     )
     out = second_pass_overrides(
-        mentions, cands, edges, surface_clusters, ERConfig(ppr_max_iter=3)
+        mentions, cands, edges, surface_clusters,
+        cfg if cfg is not None else ERConfig(ppr_max_iter=3),
     )
     return out.select(
         "mention_id", F.col("cluster_id").cast("long").alias("cluster_id")
