@@ -109,6 +109,12 @@ def expand_subgraph(
     at least one end is a seed (lines 176-188 semantics).
 
     seeds: (nid); edges: (src, dst, weight) both orientations.
+
+    SCALE NOTE: the plan references ``edges`` ~8× per level (degrees,
+    frontier/gained/rescue joins, the induced-edge filter), so callers
+    expanding over a large graph should ``persist()`` it first —
+    otherwise each reference re-scans the source (harmless on a pruned
+    columnar scan at test scale, a real cost at 100 TB).
     """
     deg = degrees(edges)
     members = seeds.select("nid").distinct()
