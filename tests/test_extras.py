@@ -412,3 +412,105 @@ def test_score_surface_pairs_duplicate_input_rows(spark):
     out = score_surface_pairs(pairs)
     assert out.count() == 2
     assert out.select("left_norm", "right_norm").distinct().count() == 2
+
+
+def test_simhash_table_matches_column_spec(spark):
+    """r07 parity pin (VERDICT r6 #1): the relational SimHash kernel
+    (explode -> xxhash64 -> columnar bit-vote sums) must equal the
+    64-pass column-expression spec kernel element-for-element,
+    including empty / whitespace-only / null / punctuation-only docs
+    and the sf0.001 corpus."""
+    edge = spark.createDataFrame(
+        [
+            Row(doc_id=100001, text=""),
+            Row(doc_id=100002, text="   \t  "),
+            Row(doc_id=100003, text=None),
+            Row(doc_id=100004, text="!!! ... ???"),
+            Row(doc_id=100005, text="one"),
+            Row(doc_id=100006, text="repeat repeat repeat distinct"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").unionByName(edge)
+    spec = {
+        r["doc"]: r["sh"]
+        for r in docs.select(
+            F.col("doc_id").alias("doc"),
+            dedup.simhash(F.col("text")).alias("sh"),
+        ).collect()
+    }
+    rel = {
+        r["doc"]: r["sh"] for r in dedup.simhash_table(docs).collect()
+    }
+    assert rel == spec
+    # empty/ws/null/punct-only docs take the all-zero-vote value 0
+    for did in (100001, 100002, 100003, 100004):
+        assert rel[did] == 0
+
+
+def test_text_regex_kernels_match_lambda_spec(spark):
+    """r07 parity pin: the single-pass regex counting kernels
+    (n_tokens / stopword count / ws tokens / bpe-ish / mean word len)
+    must equal the original higher-order-lambda formulations on the
+    sf0.001 corpus plus adversarial rows (unicode, NBSP, empties,
+    stopword-substring words, null)."""
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "   "),
+            (100003, None),
+            (100004, "the theory of in-flight inspections is that it was for"),
+            (100005, "café naïve À-propos straße İstanbul"),
+            (100006, "a b nbsp separated"),
+            (100007, "x1y2z3 42abc !!?"),
+            (100008, "THE AND OF TO IN IS THAT IT WAS FOR"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").unionByName(edge)
+    col = F.col("text")
+    toks_old = F.filter(
+        F.split(F.lower(col), r"[^\p{L}0-9]+"), lambda t: t != ""
+    )
+    sw = F.array(*[F.lit(w) for w in TX._LANG_PROFILES["en"]])
+    old = docs.select(
+        "doc_id",
+        F.size(toks_old).alias("n_tok"),
+        F.size(
+            F.filter(toks_old, lambda t: F.array_contains(sw, t))
+        ).alias("n_sw"),
+        F.size(F.filter(F.split(col, r"\s+"), lambda t: t != "")).alias("n_ws"),
+        F.size(
+            F.filter(
+                F.split(
+                    col,
+                    r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])|\s+",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("n_bpe"),
+        F.aggregate(toks_old, F.lit(0), lambda a, t: a + F.length(t)).alias(
+            "tok_chars"
+        ),
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(toks_old))
+        ).alias("canon"),
+    )
+    new = docs.select(
+        "doc_id",
+        TX.n_tokens_of(col).alias("n_tok"),
+        TX._stopword_count(col, TX._LANG_PROFILES["en"]).alias("n_sw"),
+        TX.token_count_ws(col).alias("n_ws"),
+        TX.token_count_bpe_ish(col).alias("n_bpe"),
+        F.length(
+            F.regexp_replace(F.lower(col), r"[^\p{L}0-9]", "")
+        ).alias("tok_chars"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(TX.tokens_of(col)))).alias(
+            "canon"
+        ),
+    )
+    o = {r["doc_id"]: tuple(r)[1:] for r in old.collect()}
+    n = {r["doc_id"]: tuple(r)[1:] for r in new.collect()}
+    # size(null array) is null in old form vs null regexp_count in new:
+    # both yield None for the null-text row; compare directly
+    assert o == n

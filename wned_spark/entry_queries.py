@@ -145,7 +145,17 @@ def a4_tfidf(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokenize(docs.withColumnRenamed("doc_id", "doc"), "text", ["doc"])
-    w = doc_term_weights(toks, "doc")
+    # N from the un-exploded documents table (guide §2.3 — aggregate the
+    # cheapest surface): a doc contributes >=1 token iff its lowered
+    # text contains a [a-z0-9] char, and doc_id is unique, so this one
+    # plain scan equals countDistinct(doc) over the exploded tokens
+    # without the second explode pass.
+    n_docs = docs.agg(
+        F.count(F.when(F.lower(F.col("text")).rlike("[a-z0-9]"), 1))
+        .cast("double")
+        .alias("n_docs")
+    )
+    w = doc_term_weights(toks, "doc", n_docs=n_docs)
     return w.select("doc", "term", F.round("tfidf", 6).alias("tfidf"))
 
 
@@ -683,7 +693,17 @@ def r13_milne_witten(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     links = li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")).distinct()
     deg = links.groupBy("src").agg(F.count("*").alias("degree"))
-    n_nodes = links.select("src").distinct().count()
+    # N as a one-row broadcast aggregate instead of a driver ``.count()``
+    # (guide §5: no collect in the query path): the literal forced TWO
+    # full extra shuffles of lineitem (pair-distinct → src-distinct) at
+    # plan-BUILD time, a serial job barrier before the timed query even
+    # ran. distinct-src over lineitem == distinct src over the pair-
+    # distinct links, and log(double(N)) is the same double either way.
+    n_df = (
+        li.select(F.col("l_suppkey").alias("src"))
+        .distinct()
+        .agg(F.count("*").cast("double").alias("n_nodes"))
+    )
     a, b = links.alias("a"), links.alias("b")
     pairs = (
         a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
@@ -694,9 +714,10 @@ def r13_milne_witten(spark, sf_dir):
     db = deg.withColumnRenamed("src", "src_b").withColumnRenamed("degree", "deg_b")
     raw = 1.0 - (
         F.log(F.greatest("deg_a", "deg_b").cast("double")) - F.log(F.col("common").cast("double"))
-    ) / (F.log(F.lit(float(n_nodes))) - F.log(F.least("deg_a", "deg_b").cast("double")))
+    ) / (F.log(F.col("n_nodes")) - F.log(F.least("deg_a", "deg_b").cast("double")))
     return (
         pairs.join(da, "src_a").join(db, "src_b")
+        .crossJoin(F.broadcast(n_df))
         .filter((F.col("src_a") <= 20) & (F.col("src_b") <= 20))
         .select(
             "src_a",

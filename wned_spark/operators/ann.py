@@ -45,13 +45,32 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: cross join + ranked window. The baseline /
-    oracle — O(|Q|·|C|), use only with a bounded query set."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    oracle — O(|Q|·|C|), use only with a bounded query set.
+
+    PLAN SHAPE (r07): norms are projected ONCE PER ROW on each side
+    before the cross join — the previous form evaluated both norm
+    aggregates inside the join projection, i.e. |Q|·|C| times instead
+    of |Q|+|C| (all three are CodegenFallback array traversals, so the
+    per-pair work tripled). The bounded QUERY side is the broadcast
+    build side (it used to be the streamed side, which serialized the
+    whole |Q|·|C| compute into however few partitions |Q| rows occupy —
+    one task at bench scale); the corpus streams, repartitioned to the
+    cluster width so the per-pair dot products use every core. Values
+    are bit-identical: same dot/norm expressions over the same rows,
+    only evaluated at different plan positions."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -109,20 +128,38 @@ def cosine_topk_lsh(
     hash tables; candidates = union of same-bucket rows across tables;
     exact cosine re-rank of candidates only. Recall rises with
     n_tables; join fan-out stays bounded by bucket occupancy
-    (|corpus| / 2^planes per table on average)."""
-    def with_buckets(df, idname):
-        rows = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
-        # one bucket key per hash table (plane seeds offset by table id)
-        buckets = [_rp_bucket_t(F.col(f"{idname}_v"), planes, t) for t in range(n_tables)]
-        return rows.select(idname, f"{idname}_v", F.explode(F.array(*buckets)).alias("bk"))
+    (|corpus| / 2^planes per table on average).
 
-    q = with_buckets(queries, "query_id")
-    c = with_buckets(corpus, "neighbor_id")
-    cand = (
-        q.join(c, q["bk"] == c["bk"])
+    r07 SHUFFLE SHAPE (VERDICT r6 #2): only (id, bucket) rides the
+    bucket self-join and the candidate ``distinct()`` runs on id pairs;
+    the raw vectors join back per DISTINCT candidate pair — the same
+    shape ``dedup.embedding_near_duplicates`` always used. The old form
+    carried both ``*_v`` vector columns through the bucket-join
+    exchange and deduplicated over them, multiplying shuffle bytes by
+    the vector width for no algorithmic reason. Output bit-identical:
+    same candidate id pairs (vec_id is unique), same cosine expression
+    over the same joined-back vectors."""
+    def with_buckets(df, idname):
+        vec = F.col(vec_col)
+        # one bucket key per hash table (plane seeds offset by table id)
+        buckets = [_rp_bucket_t(vec, planes, t) for t in range(n_tables)]
+        return df.select(
+            F.col(id_col).alias(idname), F.explode(F.array(*buckets)).alias("bk")
+        )
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand_ids = (
+        qb.join(cb, "bk")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_id_v", "neighbor_id", "neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_id_v"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_id_v"))
+    cand = (
+        cand_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
             _dot(F.col("query_id_v"), F.col("neighbor_id_v"))
@@ -259,17 +296,22 @@ def cosine_topk_ivf(
         top = np.argsort(-sims, axis=1)[:, :n_probe_eff].astype(np.int32)
         return pd.Series(list(top))
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cell", cell_of(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
-    cand = (
-        q.join(c, "cell")
+    # r07 shuffle shape (VERDICT r6 #2, same as cosine_topk_lsh): only
+    # (id, cell) rides the probe join; the candidate distinct runs on id
+    # pairs and vectors join back per distinct pair. Output identical.
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c_cells = c.select("neighbor_id", cell_of(F.col("cv")).alias("cell"))
+    q_cells = q.select("query_id", F.explode(probe_cells(F.col("qv"))).alias("cell"))
+    cand_ids = (
+        q_cells.join(c_cells, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cand = (
+        cand_ids.join(q, "query_id")
+        .join(c, "neighbor_id")
         .withColumn(
             "cosine",
             _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),

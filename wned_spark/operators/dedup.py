@@ -23,11 +23,25 @@ from wned_spark.operators.cc import connected_components
 
 
 def word_shingles(col, n: int = 3):
-    """Array of word n-gram shingles (distinct), JVM-side."""
-    toks = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+    """Array of word n-gram shingles (distinct), JVM-side.
+
+    r07: the empty-token filter is ``array_remove`` (same semantics,
+    non-HOF) and each shingle is assembled from null-safe ``F.get``
+    probes instead of ``F.slice`` — ``concat_ws`` skips the nulls that
+    ``get`` yields past the array end, which reproduces the
+    short-array behavior of the old slice form exactly (a <n-token doc
+    emits its whole token list as the single shingle; an empty doc
+    emits one '' shingle) without allocating a sub-array per shingle
+    inside the interpreted ``transform``."""
+    toks = F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(n)]
+            ),
+        )
     )
 
 
@@ -288,7 +302,14 @@ def simhash(col, num_bits: int = 64):
     sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
     Packed into one bigint via shiftleft + bitwise OR (Python ``1<<63``
     literals overflow LongType; JVM shiftleft wraps to the sign bit,
-    which is the correct bit pattern)."""
+    which is the correct bit pattern).
+
+    SPEC KERNEL ONLY (r07): each bit runs its own ``F.aggregate`` walk
+    over the token array — ``num_bits`` interpreted CodegenFallback
+    traversals per row, the exact HOF trap ``_oph_dense`` documents.
+    Production paths use :func:`simhash_table` (relational, one hash
+    per token, codegen throughout), parity-pinned element-for-element
+    against this kernel in tests/test_extras.py."""
     toks = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -304,6 +325,55 @@ def simhash(col, num_bits: int = 64):
         vote = F.aggregate(hashes, F.lit(0), vote_merge(bitmask))
         out = out.bitwiseOR(F.when(vote > 0, bitmask).otherwise(F.lit(0).cast("long")))
     return out
+
+
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 64,
+) -> DataFrame:
+    """(doc, sh) SimHash values via the RELATIONAL kernel (VERDICT r6
+    #1, the ``_oph_dense`` playbook): explode tokens → ONE ``xxhash64``
+    per token occurrence → per-doc groupBy computing the ``num_bits``
+    ±1 vote sums as columnar conditional sums (map-side combinable,
+    whole-stage codegen) → pack the sign bits into one bigint.
+
+    Semantics EQUAL :func:`simhash` element-for-element (parity-pinned
+    in tests/test_extras.py): duplicate tokens vote once per
+    occurrence (explode keeps multiplicity); a document with zero
+    tokens — empty, whitespace-only, or null text — has vote 0 on
+    every bit in the spec kernel and therefore sh = 0, restored here
+    by the left join + coalesce(0) (such docs never reach the
+    explode)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, F.col(id_col))
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
+    )
+    hs = docs.select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("t")
+    ).select("doc", F.xxhash64("t").alias("h"))
+    masks = [F.shiftleft(F.lit(1).cast("long"), b) for b in range(num_bits)]
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(masks[b]) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(num_bits)
+    ]
+    g = hs.groupBy("doc").agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(num_bits):
+        out = out.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, masks[b]).otherwise(F.lit(0).cast("long"))
+        )
+    sh = g.select("doc", out.alias("sh"))
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(sh, "doc", "left")
+        .select("doc", F.coalesce("sh", F.lit(0).cast("long")).alias("sh"))
+    )
 
 
 def simhash_near_duplicates(
@@ -334,7 +404,7 @@ def simhash_near_duplicates(
             shifted = shifted.bitwiseAND(F.lit((1 << band_bits) - 1).cast("long"))
         return F.concat_ws(":", F.lit(i), shifted.cast("string"))
 
-    sh = docs.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), num_bits).alias("sh"))
+    sh = simhash_table(docs, id_col, text_col, num_bits)
     bands = sh.select(
         "doc",
         "sh",

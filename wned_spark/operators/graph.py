@@ -166,7 +166,11 @@ def milne_witten_relatedness(edges: DataFrame, pairs: DataFrame) -> DataFrame:
     """
     from wned_spark.functions.similarity import milne_witten
 
-    n_nodes = edges.select("src").distinct().count()
+    # N as a one-row broadcast aggregate, not a driver count (guide §5):
+    # the count forced an extra full job at plan-build time
+    n_df = edges.select("src").distinct().agg(
+        F.count("*").alias("n_nodes")
+    )
     links = edges.select("src", "dst")
     common = (
         pairs.join(links.alias("la"), F.col("src_a") == F.col("la.src"))
@@ -183,11 +187,12 @@ def milne_witten_relatedness(edges: DataFrame, pairs: DataFrame) -> DataFrame:
         .na.fill({"common": 0})
         .join(deg.withColumnRenamed("src", "src_a").withColumnRenamed("degree", "deg_a"), "src_a")
         .join(deg.withColumnRenamed("src", "src_b").withColumnRenamed("degree", "deg_b"), "src_b")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "src_a",
             "src_b",
             milne_witten(
-                F.col("common"), F.col("deg_a"), F.col("deg_b"), F.lit(n_nodes)
+                F.col("common"), F.col("deg_a"), F.col("deg_b"), F.col("n_nodes")
             ).alias("relatedness"),
         )
     )

@@ -171,7 +171,8 @@ def soft_tfidf_scores(
     )
 
     def _toks(col):
-        return F.filter(F.split(col, r"[\s\.]+"), lambda t: t != "")
+        # array_remove == lambda filter (drops every ''), non-HOF
+        return F.array_remove(F.split(col, r"[\s\.]+"), "")
 
     inst = surfaces.select(
         "s", F.posexplode(_toks(F.col("s"))).alias("pos", "tok")

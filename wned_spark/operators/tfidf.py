@@ -22,30 +22,46 @@ def tokenize(df: DataFrame, text_col: str, id_cols: list[str]) -> DataFrame:
     return df.select(
         *id_cols,
         F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-                lambda t: t != "",
+            # array_remove == the old lambda filter (drops every ''),
+            # minus the CodegenFallback higher-order evaluation
+            F.array_remove(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
             )
         ).alias("term"),
     )
 
 
-def doc_term_weights(tokens: DataFrame, doc_col: str = "doc") -> DataFrame:
+def doc_term_weights(
+    tokens: DataFrame, doc_col: str = "doc", n_docs: DataFrame | None = None
+) -> DataFrame:
     """(doc, term) rows → (doc, term, tf, df, tfidf). A3 + A4.
 
     N (corpus size) joins in as a one-row aggregate (broadcast nested
     loop of a single row) instead of a driver ``count()``: the literal
     would force a full job at PLAN-BUILD time — a serial barrier on
     every pipeline construction, measured at seconds on a corpus-sized
-    token table."""
+    token table. Callers that can derive N cheaper than a full pass
+    over ``tokens`` (e.g. from the un-exploded document table) may pass
+    it as a one-row DataFrame with a double column ``n_docs``.
+
+    r07 PLAN SHAPE: ``df`` is a window count over the tf table instead
+    of a separate ``groupBy(term).countDistinct(doc)`` + join — tf is
+    distinct on (doc, term) by construction, so the per-term row count
+    IS the document frequency, and the window reuses tf's rows where
+    the join re-derived the whole scan→explode→aggregate lineage a
+    second time (guide §2.4: two operations keyed the same way share
+    one exchange). One pass over the token table instead of three."""
+    from pyspark.sql import Window
+
     tf = tokens.groupBy(doc_col, "term").agg(F.count("*").alias("freq"))
-    n = tokens.agg(
-        F.countDistinct(doc_col).cast("double").alias("n_docs")
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct(doc_col).alias("df"))
+    if n_docs is None:
+        n_docs = tokens.agg(
+            F.countDistinct(doc_col).cast("double").alias("n_docs")
+        )
+    w = Window.partitionBy("term")
     return (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n))
+        tf.withColumn("df", F.count("*").over(w))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             doc_col,
             "term",
