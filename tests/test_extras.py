@@ -514,3 +514,45 @@ def test_text_regex_kernels_match_lambda_spec(spark):
     # size(null array) is null in old form vs null regexp_count in new:
     # both yield None for the null-text row; compare directly
     assert o == n
+
+
+def test_word_shingles_zip_form_matches_slice_spec(spark):
+    """r07 parity pin: the zip-with-shifted-slices shingle builder must
+    equal the original per-index slice-in-transform form for every doc
+    (corpus + edge rows: empty, whitespace, null, 1/2/3-token docs),
+    at n=2 and n=3."""
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "   "),
+            (100003, None),
+            (100004, "one"),
+            (100005, "one two"),
+            (100006, "one two three"),
+            (100007, "a b a b a"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").unionByName(edge)
+
+    def shingles_spec(col, n):
+        toks = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", dedup.word_shingles(F.col("text"), n).alias("sh")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", shingles_spec(F.col("text"), n).alias("sh")
+            ).collect()
+        }
+        assert got == want, n

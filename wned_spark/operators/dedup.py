@@ -26,23 +26,47 @@ def word_shingles(col, n: int = 3):
     """Array of word n-gram shingles (distinct), JVM-side.
 
     r07: the empty-token filter is ``array_remove`` (same semantics,
-    non-HOF) and each shingle is assembled from null-safe ``F.get``
-    probes instead of ``F.slice`` — ``concat_ws`` skips the nulls that
-    ``get`` yields past the array end, which reproduces the
-    short-array behavior of the old slice form exactly (a <n-token doc
-    emits its whole token list as the single shingle; an empty doc
-    emits one '' shingle) without allocating a sub-array per shingle
-    inside the interpreted ``transform``."""
+    non-HOF), and shingles are built by zipping the token array with
+    its own n-1 shifted slices instead of a per-index ``slice`` inside
+    ``transform``. CRITICAL CAPTURE RULE learned re-measuring this: a
+    column expression CAPTURED inside a higher-order lambda (the old
+    ``F.slice(toks, i+1, n)``, or a ``F.get(toks, ...)`` probe) is
+    re-evaluated — full split + array_remove — once per reference per
+    array ELEMENT, because the captured tree is not the lambda's bound
+    variable. ``zip_with`` arguments, by contrast, are evaluated once
+    per ROW. Equivalences preserved exactly: ``zip_with`` pads the
+    shorter side with nulls and ``concat_ws`` skips them, so a
+    <n-token doc still emits its whole token list as one shingle; the
+    index range 0..max(size-n, 0) is applied by slicing the zipped
+    result; an empty-token doc still emits the single '' shingle
+    (explicit branch — the zip of empty arrays is empty, while the old
+    ``sequence(0,0)`` emitted one element); a null text still yields a
+    null shingle array."""
     toks = F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + j) for j in range(n)]
-            ),
+    sz = F.size(toks)
+    shifted = [F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0))) for j in range(1, n)]
+    pairs = F.zip_with(
+        shifted[0], shifted[1], lambda b, c: F.struct(b.alias("b"), c.alias("c"))
+    ) if n == 3 else None
+    if n == 3:
+        grams = F.zip_with(
+            toks, pairs, lambda a, s: F.concat_ws(" ", a, s["b"], s["c"])
         )
+    elif n == 2:
+        grams = F.zip_with(toks, shifted[0], lambda a, b: F.concat_ws(" ", a, b))
+    else:  # generic fold for other n: nest zips, capture nothing
+        grams = toks
+        for sh_j in shifted:
+            grams = F.zip_with(
+                grams, sh_j, lambda acc, nxt: F.concat_ws(" ", acc, nxt)
+            )
+    # sz > 0 guard: both the empty-token doc AND the null-text doc take
+    # the [''] branch — the spec form's greatest() ignores a null size,
+    # so null text also emitted the single '' shingle there
+    grams = F.when(sz > 0, F.slice(grams, 1, F.greatest(sz - n + 1, F.lit(1)))).otherwise(
+        F.array(F.lit(""))
     )
+    return F.array_distinct(grams)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
