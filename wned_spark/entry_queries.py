@@ -1285,7 +1285,12 @@ def g3_personalized_pagerank(spark, sf_dir):
         .select("seed")
     )
     cfg = ERConfig(ppr_max_iter=3)
-    sigs = personalized_pagerank(seeds, edges, cfg, check_delta=False)
+    # symmetric=True: the co-membership clique emits BOTH orientations,
+    # so no reachable node is dangling — this drops the per-iteration
+    # dangling anti-join + aggregate (2 stages x 3 iterations) and is
+    # value-identical here: dmass is exactly 0.0 for every seed, and
+    # (1-alpha) + alpha*0.0 == 1-alpha in IEEE double
+    sigs = personalized_pagerank(seeds, edges, cfg, check_delta=False, symmetric=True)
     return sigs.select(
         F.col("seed").cast("int").alias("seed"),
         F.col("node").cast("int").alias("node"),
@@ -1303,8 +1308,14 @@ def g3_personalized_pagerank(spark, sf_dir):
 )
 def g8_connected_components(spark, sf_dir):
     """G8: large-star/small-star CC on the nation region-clique graph;
-    the oracle computes components independently (min key per region)."""
-    from wned_spark.operators.cc import connected_components
+    the oracle computes components independently (min key per region).
+
+    r07: routed through ``connected_components_auto`` — the same
+    size-gated strategy the flagship uses (below 500k edges the
+    alternating-star rounds' ~10 job barriers dominate their own
+    runtime; the driver union-find produces the identical min-id
+    component table, parity-pinned in tests/test_ppr_cc.py)."""
+    from wned_spark.operators.cc import connected_components_auto as connected_components
 
     n = _t(spark, sf_dir, "nation")
     a, b = n.alias("a"), n.alias("b")

@@ -64,9 +64,21 @@ def block_keys(surfaces: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
     toks = tok_rows.select(
         "sid", F.concat(F.lit("tok:"), F.col("tok")).alias("block_key")
     )
-    sh = char_shingles(F.col("sn"), n=cfg.shingle_size)
-    bands = minhash_band_keys_direct(sh, cfg.minhash_num_hashes, cfg.minhash_band_size)
-    mh = base.select("sid", F.explode(bands).alias("bk")).select(
+    # two-step select: materialize the shingle array as a named column
+    # first. Passing char_shingles(...) straight into the band builder
+    # inlined the whole shingle subtree into each of the ``num_hashes``
+    # min-hash transforms — 48 copies to analyze on the driver (the
+    # dominant cost of this stage's plan build) and 48 evaluations per
+    # row at runtime. With a multi-referenced non-trivial alias,
+    # CollapseProject keeps the projections separate, so the array is
+    # built once per row and the tree carries one copy.
+    sh_base = base.select(
+        "sid", char_shingles(F.col("sn"), n=cfg.shingle_size).alias("chsh")
+    )
+    bands = minhash_band_keys_direct(
+        F.col("chsh"), cfg.minhash_num_hashes, cfg.minhash_band_size
+    )
+    mh = sh_base.select("sid", F.explode(bands).alias("bk")).select(
         "sid", F.concat(F.lit("mh:"), F.col("bk").cast("string")).alias("block_key")
     )
     out = toks.union(mh)

@@ -177,7 +177,8 @@ def soft_tfidf_scores(
     inst = surfaces.select(
         "s", F.posexplode(_toks(F.col("s"))).alias("pos", "tok")
     )
-    dfreq = inst.select("s", "tok").distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    # fused distinct-count (one exchange instead of distinct + groupBy)
+    dfreq = inst.groupBy("tok").agg(F.countDistinct("s").alias("df"))
     n_df = surfaces.agg(F.count("*").cast("double").alias("n_surf"))
     tokidf = dfreq.crossJoin(F.broadcast(n_df)).select(
         "tok", F.log(1.0 + F.col("n_surf") / F.col("df")).alias("idf")
@@ -194,17 +195,18 @@ def soft_tfidf_scores(
     # Token-pair expansion is PURE MAP-SIDE: a pair row self-contains
     # both strings, so both token lists come from split() expressions —
     # the |pairs|·tₗ·tᵣ intermediate never rides a join or shuffle.
-    def _expand(pos_side: str, other_side: str) -> DataFrame:
+    def _expand(pos_side: str, other_side: str, direction: int) -> DataFrame:
         return sp.select(
             "left_norm",
             "right_norm",
+            F.lit(direction).alias("dir"),
             F.posexplode(_toks(F.col(pos_side))).alias("pos_a", "tok_a"),
         ).select(
-            "left_norm", "right_norm", "pos_a", "tok_a",
+            "left_norm", "right_norm", "dir", "pos_a", "tok_a",
             F.explode(_toks(F.col(other_side))).alias("tok_b"),
         )
 
-    tp_l = _expand("left_norm", "right_norm")
+    tp_l = _expand("left_norm", "right_norm", 0)
 
     # ONE JW evaluation per distinct token-type pair corpus-wide (the
     # global Zipf dedup), THETA-FILTERED before joining back: tokens
@@ -226,45 +228,68 @@ def soft_tfidf_scores(
         ).otherwise(jaro_winkler_udf(F.col("tok_a"), F.col("tok_b"))),
     ).filter(F.col("sim") >= theta)
 
-    def _direction(tp: DataFrame, sims_df: DataFrame, den_key: str, out: str) -> DataFrame:
-        matched = tp.join(sims_df, ["tok_a", "tok_b"])
-        best = matched.groupBy("left_norm", "right_norm", "pos_a", "tok_a").agg(
-            F.max("sim").alias("best")
-        )
-        num = (
-            best.join(tokidf, best["tok_a"] == tokidf["tok"])
-            .groupBy("left_norm", "right_norm")
-            .agg(F.sum(F.col("idf") * F.col("best")).alias("num"))
-        )
-        return num.join(
-            den.select(F.col("s").alias(den_key), "den"), den_key
-        ).select(
-            "left_norm",
-            "right_norm",
-            F.when(F.col("den") > 0, F.col("num") / F.col("den"))
-            .otherwise(0.0)
-            .alias(out),
-        )
-
-    score_l = _direction(tp_l, sims, "left_norm", "soft_l")
-    # direction r: instance token (tok_a) is the RIGHT token; reuse the
-    # same sims table with its orientation swapped (JW is symmetric but
-    # the distinct pair set was built left→right)
-    tp_r = _expand("right_norm", "left_norm")
-    sims_r = sims.select(
-        F.col("tok_b").alias("tok_a"), F.col("tok_a").alias("tok_b"), "sim"
+    # r07 FUSED DIRECTIONS (guide §2.4): both directional scores ride
+    # ONE matched-join → best-groupBy → idf-join → num-groupBy chain
+    # keyed by a dir tag, instead of running the whole pyramid twice —
+    # at dictionary scale the two directions' aggregates share every
+    # exchange, and locally it halves the serial AQE stage count of the
+    # pipeline's hottest stage. The sims table serves direction 1 by a
+    # column swap UNIONED in (JW is symmetric; a duplicated (a,a) row
+    # from the union is harmless under the max aggregate). Per-group
+    # addends are unchanged, so scores equal the two-pass form (pinned
+    # against the UDF kernel in tests/test_operators.py).
+    tp_all = tp_l.union(_expand("right_norm", "left_norm", 1))
+    sims_sym = sims.union(
+        sims.select(F.col("tok_b").alias("tok_a"), F.col("tok_a").alias("tok_b"), "sim")
     )
-    score_r = _direction(tp_r, sims_r, "right_norm", "soft_r")
-    return (
-        sp.join(score_l, ["left_norm", "right_norm"], "left")
-        .join(score_r, ["left_norm", "right_norm"], "left")
+    matched = tp_all.join(sims_sym, ["tok_a", "tok_b"])
+    best = matched.groupBy("left_norm", "right_norm", "dir", "pos_a", "tok_a").agg(
+        F.max("sim").alias("best")
+    )
+    # direction pivot fused into ONE (left, right) aggregation: the two
+    # per-direction numerators are conditional sums over the same rows
+    # (sum skips the other direction's nulls), so the old
+    # groupBy(l,r,dir) → per-direction den join → groupBy(l,r) chain
+    # collapses to one exchange + two broadcast den joins
+    num = (
+        best.join(tokidf, best["tok_a"] == tokidf["tok"])
+        .groupBy("left_norm", "right_norm")
+        .agg(
+            F.sum(
+                F.when(F.col("dir") == 0, F.col("idf") * F.col("best"))
+            ).alias("num_l"),
+            F.sum(
+                F.when(F.col("dir") == 1, F.col("idf") * F.col("best"))
+            ).alias("num_r"),
+        )
+    )
+    den_l = den.select(F.col("s").alias("left_norm"), F.col("den").alias("den_l"))
+    den_r = den.select(F.col("s").alias("right_norm"), F.col("den").alias("den_r"))
+    # left joins + null-safe whens: a direction with no matched tokens
+    # (null num) or a token-less surface (no den row) scores 0, exactly
+    # like the old per-direction inner join + outer coalesce
+    scored_pairs = (
+        num.join(den_l, "left_norm", "left")
+        .join(den_r, "right_norm", "left")
         .select(
             "left_norm",
             "right_norm",
             F.greatest(
-                F.coalesce("soft_l", F.lit(0.0)), F.coalesce("soft_r", F.lit(0.0))
+                F.coalesce(
+                    F.when(F.col("den_l") > 0, F.col("num_l") / F.col("den_l")),
+                    F.lit(0.0),
+                ),
+                F.coalesce(
+                    F.when(F.col("den_r") > 0, F.col("num_r") / F.col("den_r")),
+                    F.lit(0.0),
+                ),
             ).alias("name_soft"),
         )
+    )
+    return sp.join(scored_pairs, ["left_norm", "right_norm"], "left").select(
+        "left_norm",
+        "right_norm",
+        F.coalesce("name_soft", F.lit(0.0)).alias("name_soft"),
     )
 
 

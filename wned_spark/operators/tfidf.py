@@ -102,7 +102,17 @@ def surface_context_weights(
         .select("sid", "text")
     )
     toks = tokenize(ctx, "text", ["sid"])
-    return doc_term_weights(toks, "sid")
+    # N from the un-exploded context rows (r07, guide §2.3): a sid
+    # contributes >=1 token iff one of its context texts contains a
+    # [a-z0-9] char — equals countDistinct(sid) over the exploded
+    # tokens without re-running the explode pass
+    n_docs = (
+        ctx.filter(F.lower(F.col("text")).rlike("[a-z0-9]"))
+        .select("sid")
+        .distinct()
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    return doc_term_weights(toks, "sid", n_docs=n_docs)
 
 
 def pairwise_cosine(

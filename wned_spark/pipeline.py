@@ -253,10 +253,16 @@ def run_er_pipeline(
         # branch, not hub: its only consumer is the gated_pairs build, so
         # an intermediate checkpoint barrier would only serialize — folded
         # into the gated action its shuffles co-schedule with shared_prior's
+        # no .distinct() here (r07): pairs is distinct on (left_sid,
+        # right_sid) by construction and sid == xxhash64(norm), so the
+        # norm pairs are already distinct — the explicit distinct was a
+        # pure extra exchange of the hot path (the pipeline equates
+        # surfaces by sid everywhere, so a 64-bit hash collision would
+        # already merge those surfaces upstream of this projection)
         soft = stage(
             "surface_soft",
             lambda: scoring.soft_tfidf_feature(
-                pairs.select("left_norm", "right_norm").distinct(),
+                pairs.select("left_norm", "right_norm"),
                 cfg,
                 assume_distinct=True,
             ),
