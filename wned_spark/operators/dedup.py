@@ -122,6 +122,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
     ).distinct()
+    # materialize once: sizes + both self-join branches reference this
+    # frame — un-materialized, the shingle explode + distinct ran 3×
+    # per call (r07, guide §2.4)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -286,6 +290,12 @@ def minhash_duplicate_pairs(
                     minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
                 ).alias("band"),
             )
+        # materialize the (doc, band) keys ONCE before the self-join
+        # (r07, guide §2.4): both join branches of an unmaterialized
+        # frame re-derive its whole lineage, so the sketch chain
+        # (explode → hash → bin-min → densify windows → band groupBy)
+        # ran twice per call; the key table is two longs per row
+        sig = sig.localCheckpoint(eager=False)
         a, b = sig.alias("a"), sig.alias("b")
         cand_ids = (
             a.join(b, "band")
@@ -434,6 +444,9 @@ def simhash_near_duplicates(
         "sh",
         F.explode(F.array(*[band_expr(i) for i in range(n_bands)])).alias("band"),
     )
+    # materialize once: the self-join would otherwise run the whole
+    # simhash aggregation on both branches (r07, guide §2.4)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, "band")
@@ -506,8 +519,13 @@ def embedding_near_duplicates(
     try:
         buckets = [_rp_bucket_t(F.col("v"), planes, t) for t in range(n_tables)]
         # only (doc, bucket) rides the self-join shuffle; vectors join back
-        # per DISTINCT candidate pair (same shape as MinHash-LSH above)
-        bucketed = vecs.select("doc", F.explode(F.array(*buckets)).alias("bucket"))
+        # per DISTINCT candidate pair (same shape as MinHash-LSH above).
+        # Materialized once: the bucket expressions are planes×tables
+        # interpreted array reductions per row, and the self-join would
+        # evaluate them on both branches (r07, guide §2.4)
+        bucketed = vecs.select(
+            "doc", F.explode(F.array(*buckets)).alias("bucket")
+        ).localCheckpoint(eager=False)
         a, b = bucketed.alias("a"), bucketed.alias("b")
         cand_ids = (
             a.join(b, "bucket")
