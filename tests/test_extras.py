@@ -556,3 +556,42 @@ def test_word_shingles_zip_form_matches_slice_spec(spark):
             ).collect()
         }
         assert got == want, n
+
+
+def test_oph_dense_tokens_matches_array_kernel(spark):
+    """r07 parity pin: the token-stream OPH kernel
+    (``_oph_dense_tokens`` — posexplode + lead-window shingles, one
+    exchange) must equal the array-input relational kernel
+    (``_oph_dense`` over ``word_shingles``) element-for-element on the
+    corpus plus adversarial rows: empty/whitespace/null text (the ['']
+    fallback), <n-token docs (whole token list as one shingle), and
+    duplicate shingles (distinct'd in the array path, harmless under
+    the per-bin min in the stream path)."""
+    edge = spark.createDataFrame(
+        [
+            (200001, ""),
+            (200002, " \t "),
+            (200003, None),
+            (200004, "one"),
+            (200005, "one two"),
+            (200006, "one two three"),
+            (200007, "a b a b a b a"),
+            (200008, "Dup, dup; DUP words... words repeated dup words"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(DOCS).select("doc_id", "text").unionByName(edge)
+    for k, n in ((32, 3), (16, 2)):
+        sh = docs.select(
+            F.col("doc_id").alias("doc"),
+            dedup.word_shingles(F.col("text"), n).alias("shingles"),
+        )
+        want = {
+            (r["doc"], r["bin"]): r["dv"]
+            for r in dedup._oph_dense(sh, k).collect()
+        }
+        got = {
+            (r["doc"], r["bin"]): r["dv"]
+            for r in dedup._oph_dense_tokens(docs, "doc_id", "text", k, n).collect()
+        }
+        assert got == want, (k, n)

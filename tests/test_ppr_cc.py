@@ -374,3 +374,44 @@ def test_connected_components_auto_matches_distributed(spark):
     d1 = {r["node"]: r["component"] for r in connected_components(df).collect()}
     d2 = {r["node"]: r["component"] for r in connected_components_auto(df).collect()}
     assert d1 == d2
+
+
+def test_ppr_auto_matches_join_on_g3_graph(spark):
+    """r07: the g3 registry row routes through the size-gated
+    ``personalized_pagerank_auto``. Pin the broadcast-CSR branch against
+    the join-based iteration on the EXACT registry graph (the nation
+    co-membership clique — identical at every SF) at the row's own
+    rounding (9 dp), as full row-set equality."""
+    from pyspark.sql import functions as F
+
+    from wned_spark.operators.ppr import (
+        personalized_pagerank,
+        personalized_pagerank_auto,
+    )
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    a, b = n.alias("a"), n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    seeds = (
+        n.groupBy("n_regionkey")
+        .agg(F.min("n_nationkey").cast("long").alias("seed"))
+        .select("seed")
+    )
+    cfg = ERConfig(ppr_max_iter=3)
+
+    def rows(df):
+        return {
+            (r["seed"], r["node"]): round(r["rank"], 9) for r in df.collect()
+        }
+
+    ref = rows(personalized_pagerank(seeds, edges, cfg, check_delta=False))
+    got = rows(personalized_pagerank_auto(seeds, edges, cfg, check_delta=False))
+    assert got == ref

@@ -1263,7 +1263,7 @@ def g3_personalized_pagerank(spark, sf_dir):
     seed per region. The oracle unrolls the identical power iteration
     in SQL — a true independent check of the iterative operator."""
     from wned_spark.config import ERConfig
-    from wned_spark.operators.ppr import personalized_pagerank
+    from wned_spark.operators.ppr import personalized_pagerank_auto
 
     n = _t(spark, sf_dir, "nation")
     a, b = n.alias("a"), n.alias("b")
@@ -1285,12 +1285,14 @@ def g3_personalized_pagerank(spark, sf_dir):
         .select("seed")
     )
     cfg = ERConfig(ppr_max_iter=3)
-    # symmetric=True: the co-membership clique emits BOTH orientations,
-    # so no reachable node is dangling — this drops the per-iteration
-    # dangling anti-join + aggregate (2 stages x 3 iterations) and is
-    # value-identical here: dmass is exactly 0.0 for every seed, and
-    # (1-alpha) + alpha*0.0 == 1-alpha in IEEE double
-    sigs = personalized_pagerank(seeds, edges, cfg, check_delta=False, symmetric=True)
+    # r07: routed through the size-gated auto strategy (the g8 shape) —
+    # this 600-edge clique graph takes the broadcast-CSR kernel (one
+    # Arrow collect + one shuffle-free mapInPandas job) instead of the
+    # join-based iteration's ~8 chained shuffles. Both variants are
+    # parity-pinned (tests/test_ppr_cc.py, incl. this exact graph at
+    # round-9), and the SQL oracle unrolling the power iteration is
+    # unchanged.
+    sigs = personalized_pagerank_auto(seeds, edges, cfg, check_delta=False)
     return sigs.select(
         F.col("seed").cast("int").alias("seed"),
         F.col("node").cast("int").alias("node"),

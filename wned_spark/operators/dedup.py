@@ -168,8 +168,6 @@ def _oph_dense(sh: DataFrame, num_hashes: int) -> DataFrame:
     the input, not the hash rows) and takes the same per-bin constant
     fallback as the spec kernel, so empty docs band deterministically
     and only with each other."""
-    from pyspark.sql import Window
-
     from wned_spark.functions.shingles import _OPH_SEED
 
     k = num_hashes
@@ -179,10 +177,80 @@ def _oph_dense(sh: DataFrame, num_hashes: int) -> DataFrame:
     binmin = hs.groupBy(
         "doc", F.pmod("h", F.lit(k)).alias("bin")
     ).agg(F.min("h").alias("v"))
-    grid = (
-        sh.select("doc")
-        .distinct()
-        .select("doc", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bin"))
+    grid = sh.select("doc").distinct()
+    return _oph_densify_grid(grid, binmin, k)
+
+
+def _oph_dense_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, bin, dv) — :func:`_oph_dense` computed from a token STREAM
+    instead of materialized shingle arrays (r07, guide §2.3/§2.4).
+
+    The array path pays to build, cache and explode a per-doc string
+    array whose construction runs through interpreted ``zip_with``
+    lambdas. Here the cleaned token array is exploded once with its
+    position and the n-gram at position i is assembled by ``lead()``
+    window probes over (doc, pos) — ``concat_ws`` skips the nulls past
+    the end, which reproduces ``word_shingles``' short-document rule
+    (a <n-token doc emits its whole token list as one shingle), and the
+    ``pos <= greatest(sz-n, 0)`` filter reproduces its index range. An
+    empty/whitespace/null text takes the same ``['']`` fallback before
+    the explode, so such docs still band together. Duplicate shingles
+    (removed by ``array_distinct`` in the array path) are harmless
+    here: OPH takes a per-bin ``min`` and duplicate shingle hashes
+    cannot change a min.
+
+    Plan shape: after one hash repartition by ``id_col`` every step —
+    posexplode, the lead window, the bin-min groupBy, the densify
+    windows and the band groupBy — is clustered by ``doc``, so the
+    WHOLE sketch chain runs with a single exchange (verified in
+    plans/r07/dedup_minhash_lsh_after.txt). Parity vs the array path is
+    pinned element-for-element in tests/test_extras.py."""
+    from pyspark.sql import Window
+
+    from wned_spark.functions.shingles import _OPH_SEED
+
+    k = num_hashes
+    raw = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    toks = F.when(F.size(raw) > 0, raw).otherwise(F.array(F.lit("")))
+    td = docs.select(F.col(id_col).alias("doc"), toks.alias("toks")).select(
+        "doc", F.size("toks").alias("sz"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, shingle_n)
+    ]
+    hs = (
+        td.select(
+            "doc",
+            "pos",
+            "sz",
+            F.concat_ws(" ", *parts).alias("s"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("sz") - shingle_n, F.lit(0)))
+        .select("doc", F.xxhash64("s", F.lit(_OPH_SEED)).alias("h"))
+    )
+    binmin = hs.groupBy(
+        "doc", F.pmod("h", F.lit(k)).alias("bin")
+    ).agg(F.min("h").alias("v"))
+    grid = docs.select(F.col(id_col).alias("doc")).distinct()
+    return _oph_densify_grid(grid, binmin, k)
+
+
+def _oph_densify_grid(grid: DataFrame, binmin: DataFrame, num_hashes: int) -> DataFrame:
+    """Shared densification tail of the OPH kernels: (doc) grid ×
+    [0,k) bins, left-joined with the bin minima, then exact rotation
+    densification with two window passes."""
+    from pyspark.sql import Window
+
+    k = num_hashes
+    grid = grid.select(
+        "doc", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bin")
     )
     g = grid.join(binmin, ["doc", "bin"], "left")
     w_fwd = (
@@ -229,7 +297,14 @@ def _oph_bands(
     are dropped, never emitted as a short (higher-collision) band, so
     'oph' and 'classic' schemes stay comparable at any
     (num_hashes, band_size)."""
-    dense = _oph_dense(sh, num_hashes)
+    return _bands_from_dense(_oph_dense(sh, num_hashes), num_hashes, band_size)
+
+
+def _bands_from_dense(
+    dense: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc, band) keys from a (doc, bin, dv) dense grid — shared band
+    packing of the array-input and token-stream OPH kernels."""
     n_bands = num_hashes // band_size
     return dense.filter(F.col("bin") < n_bands * band_size).groupBy(
         "doc", (F.col("bin") / band_size).cast("int").alias("bandidx")
@@ -273,62 +348,82 @@ def minhash_duplicate_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par, F.col(id_col))
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    # band keys only — shingle arrays do NOT ride the self-join shuffle.
+    # r07: the oph scheme no longer materializes per-doc shingle ARRAYS
+    # at all for the sketch — the token-stream kernel
+    # (:func:`_oph_dense_tokens`) computes the same dense grid with one
+    # exchange and no interpreted array lambdas; arrays are built only
+    # for the docs that appear in a candidate pair (semi-join below),
+    # which is O(candidates), not O(corpus).
+    if scheme == "oph":
+        sig = _bands_from_dense(
+            _oph_dense_tokens(docs, id_col, text_col, num_hashes, shingle_n),
+            num_hashes,
+            band_size,
+        )
+    else:
+        sig = docs.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        ).select(
+            "doc",
+            F.explode(
+                minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
+            ).alias("band"),
+        )
+    # materialize the (doc, band) keys ONCE before the self-join
+    # (r07, guide §2.4): both join branches of an unmaterialized
+    # frame re-derive its whole lineage, so the sketch chain
+    # (explode → hash → bin-min → densify windows → band groupBy)
+    # ran twice per call; the key table is two longs per row
+    sig = sig.localCheckpoint(eager=False)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand_ids = (
+        a.join(b, "band")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("left_doc"),
+            F.col("b.doc").alias("right_doc"),
+        )
+        .distinct()
     )
-    sh = sh.persist()
-    try:
-        # band keys only — the (possibly large) shingle arrays do NOT ride
-        # the self-join shuffle; they join back per DISTINCT candidate pair
-        if scheme == "oph":
-            sig = _oph_bands(sh, num_hashes, band_size)
-        else:
-            sig = sh.select(
-                "doc",
-                F.explode(
-                    minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
-                ).alias("band"),
-            )
-        # materialize the (doc, band) keys ONCE before the self-join
-        # (r07, guide §2.4): both join branches of an unmaterialized
-        # frame re-derive its whole lineage, so the sketch chain
-        # (explode → hash → bin-min → densify windows → band groupBy)
-        # ran twice per call; the key table is two longs per row
-        sig = sig.localCheckpoint(eager=False)
-        a, b = sig.alias("a"), sig.alias("b")
-        cand_ids = (
-            a.join(b, "band")
-            .filter(F.col("a.doc") < F.col("b.doc"))
-            .select(
-                F.col("a.doc").alias("left_doc"),
-                F.col("b.doc").alias("right_doc"),
-            )
-            .distinct()
+    # exact-Jaccard verification over word-shingle SETS, unchanged —
+    # but the arrays are computed only for candidate docs: semi-join
+    # the corpus down to ids seen in >=1 candidate pair first (the
+    # shingle HOFs would otherwise run over every doc in the join
+    # projection). cand_ids is checkpointed: three references below
+    # (two joins + the semi-join id list) must not re-run the
+    # band self-join per branch.
+    cand_ids = cand_ids.localCheckpoint(eager=False)
+    cdocs = (
+        cand_ids.select(F.col("left_doc").alias("cid"))
+        .union(cand_ids.select(F.col("right_doc").alias("cid")))
+        .distinct()
+    )
+    sh_c = (
+        docs.join(cdocs, docs[id_col] == cdocs["cid"], "left_semi")
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
         )
-        cand = (
-            cand_ids.join(
-                sh.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
-                "left_doc",
-            ).join(
-                sh.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
-                "right_doc",
-            )
+    )
+    cand = (
+        cand_ids.join(
+            sh_c.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
+            "left_doc",
+        ).join(
+            sh_c.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
+            "right_doc",
         )
-        inter = F.size(F.array_intersect("sh_l", "sh_r"))
-        union = F.size("sh_l") + F.size("sh_r") - inter
-        out = (
-            cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("left_doc", "right_doc", "jaccard")
-        )
-        # materialize the verified pair list (O(duplicates), no arrays)
-        # so the cached shingle table never outlives the call
-        out = out.localCheckpoint(eager=False)
-        out.count()
-        return out
-    finally:
-        sh.unpersist()
+    )
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    out = (
+        cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("left_doc", "right_doc", "jaccard")
+    )
+    return out
 
 
 def simhash(col, num_bits: int = 64):

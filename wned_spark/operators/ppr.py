@@ -153,6 +153,43 @@ def personalized_pagerank(
     return ranks
 
 
+def personalized_pagerank_auto(
+    seeds: DataFrame,
+    edges: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    check_delta: bool = True,
+    max_degree: int | None = None,
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """PPR with a size-gated physical strategy (same output contract —
+    the shape :func:`cc.connected_components_auto` uses, r07): below
+    the edge threshold, the broadcast-CSR kernel
+    (:func:`personalized_pagerank_broadcast` — one Arrow collect + one
+    shuffle-free mapInPandas job); above it, the join-based power
+    iteration (~2 shuffles × iterations). The two variants are
+    parity-pinned against each other and the numpy oracle in
+    tests/test_ppr_cc.py; both apply the strongly-preferential dangling
+    rule, and a seed with no out-edges is the fixed point {seed: 1.0}
+    under either. For a 25-node registry graph the join variant's ~8
+    chained shuffles are pure job-barrier overhead — the gate is the
+    same decision AQE makes for broadcast-vs-shuffle joins, applied to
+    the iterative operator."""
+    if local_threshold is None:
+        local_threshold = cfg.ppr_broadcast_max_edges
+    e = edges.persist()
+    try:
+        if e.count() <= local_threshold:
+            return personalized_pagerank_broadcast(
+                seeds, e, cfg, max_degree=max_degree
+            )
+        return personalized_pagerank(
+            seeds, e, cfg, check_delta=check_delta, symmetric=False,
+            max_degree=max_degree,
+        )
+    finally:
+        e.unpersist()
+
+
 def renormalize_signatures(signatures: DataFrame, tol: float = 1e-4) -> DataFrame:
     """R14: stochastic-vector guard (``utils/ELUtils.java:81-83``): a
     signature whose total mass drifts from 1.0 beyond ``tol`` (numeric
