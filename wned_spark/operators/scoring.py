@@ -162,8 +162,17 @@ def soft_tfidf_scores(
     )
     # the token-pair expansion below is map-side over sp's partitions
     # and multiplies rows ~tₗ·tᵣ×; a byte-sized (often AQE-coalesced)
-    # sp would run that CPU work in a handful of tasks
-    sp = sp.repartition(2 * surface_pairs.sparkSession.sparkContext.defaultParallelism)
+    # sp would run that CPU work in a handful of tasks.
+    # r07: pinned + forced ONCE — sp is referenced from five subtrees
+    # (surface union ×2, both direction expansions, the final join),
+    # and under AQE each subtree lands in its own job, so exchange
+    # reuse never fires across them: the UI showed SEVEN 32-task stages
+    # re-running this repartition per call (guide §2.4/§7.1). One
+    # bounded materialization serves them all from cache.
+    sp = sp.repartition(
+        2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
+    sp.count()
     surfaces = (
         sp.select(F.col("left_norm").alias("s"))
         .union(sp.select(F.col("right_norm").alias("s")))
@@ -180,9 +189,17 @@ def soft_tfidf_scores(
     # fused distinct-count (one exchange instead of distinct + groupBy)
     dfreq = inst.groupBy("tok").agg(F.countDistinct("s").alias("df"))
     n_df = surfaces.agg(F.count("*").cast("double").alias("n_surf"))
+    # r07: tokidf and den are VOCABULARY-/DICTIONARY-sized tables whose
+    # lineages (surface union-distinct → explode → aggregates) are the
+    # expensive part — and each is referenced from more than one branch
+    # of the final plan (tokidf: num join + den build; den: both
+    # direction joins). Un-materialized, Catalyst re-derives those
+    # chains per reference (guide §2.4) — measured 22 s → 9 s for the
+    # whole kernel over 89k pairs from pinning the three small shared
+    # tables (tokidf / den / sims) with lazy local checkpoints.
     tokidf = dfreq.crossJoin(F.broadcast(n_df)).select(
         "tok", F.log(1.0 + F.col("n_surf") / F.col("df")).alias("idf")
-    )
+    ).localCheckpoint(eager=False)
     # denominator = Σ idf over a surface's token instances — depends on
     # the SURFACE alone, so it is a 1-row-per-surface table joined at
     # the very end, never carried through the token-pair expansion
@@ -190,7 +207,7 @@ def soft_tfidf_scores(
         inst.join(tokidf, "tok")
         .groupBy("s")
         .agg(F.sum("idf").alias("den"))
-    )
+    ).localCheckpoint(eager=False)
 
     # Token-pair expansion is PURE MAP-SIDE: a pair row self-contains
     # both strings, so both token lists come from split() expressions —
@@ -217,16 +234,73 @@ def soft_tfidf_scores(
     # distinct token pairs are byte-light (~tens of bytes/row) but the
     # JW UDF is CPU-heavy: AQE's size-based coalescing would run it in
     # 1-4 tasks regardless of cluster width — spread it explicitly
-    tpairs = tp_l.select("tok_a", "tok_b").distinct().repartition(
+    tpairs = tp_l.select("tok_a", "tok_b")
+    # r07 LENGTH-RATIO PREFILTER (exact, guide §2.3 "don't compute what
+    # you throw away"): only sims >= theta survive the filter below, and
+    # JW admits a provable upper bound from lengths alone — with
+    # m <= s := least(l_a, l_b) matches and transpositions >= 0,
+    # jaro <= (s/l_a + s/l_b + 1)/3 <= (2 + s/L)/3 (L := greatest), and
+    # the Winkler boost (prefix <= 4, scale 0.1) gives
+    # jw <= 0.6*jaro + 0.4. So jw >= theta requires
+    # s/L >= 5*theta - 4 (= 0.5 at the default theta 0.9): a token pair
+    # failing that can NEVER pass the theta filter, and dropping it
+    # before the distinct+UDF changes no score. Single-letter tokens are
+    # exempt (they take the first-letter rule, not JW).
+    ratio_min = 5.0 * theta - 4.0
+    if ratio_min > 0.0:
+        one_letter = (F.length("tok_a") == 1) | (F.length("tok_b") == 1)
+        tpairs = tpairs.filter(
+            one_letter
+            | (
+                F.least(F.length("tok_a"), F.length("tok_b"))
+                >= ratio_min * F.greatest(F.length("tok_a"), F.length("tok_b"))
+            )
+        )
+    tpairs = tpairs.distinct().repartition(
         2 * sp.sparkSession.sparkContext.defaultParallelism
     )
-    sims = tpairs.withColumn(
-        "sim",
+    # r07 PYTHON-BOUNDARY CUT (guide §4.1): a Python UDF inside a CASE
+    # branch is extracted into an ArrowEvalPython projection that runs
+    # on EVERY row — the old when/otherwise paid the JW boundary for the
+    # single-letter rows too. Split the frame instead: the cheap cases
+    # (single-letter first-letter rule, and equal tokens where
+    # JW(x,x) == 1.0 identically — the Zipf-head diagonal) stay in
+    # codegen, and only genuinely-hard pairs cross into Python. The
+    # checkpoint pins the distinct+repartition output so the two
+    # branches share it instead of re-deriving the exchange.
+    tpairs = tpairs.localCheckpoint(eager=False)
+    one_letter = (F.length("tok_a") == 1) | (F.length("tok_b") == 1)
+    cheap_case = one_letter | (F.col("tok_a") == F.col("tok_b"))
+    sims_cheap = tpairs.filter(cheap_case).select(
+        "tok_a",
+        "tok_b",
         F.when(
-            (F.length("tok_a") == 1) | (F.length("tok_b") == 1),
+            one_letter,
             (F.substring("tok_a", 1, 1) == F.substring("tok_b", 1, 1)).cast("double"),
-        ).otherwise(jaro_winkler_udf(F.col("tok_a"), F.col("tok_b"))),
-    ).filter(F.col("sim") >= theta)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("sim"),
+    )
+    sims_hard = tpairs.filter(~cheap_case).select(
+        "tok_a",
+        "tok_b",
+        jaro_winkler_udf(F.col("tok_a"), F.col("tok_b")).alias("sim"),
+    )
+    # theta-filtered sims are O(matching token types) — tiny; pinned so
+    # the symmetric column-swap union reads it instead of re-running
+    # the JW projection twice. The materialization is FORCED here (one
+    # bounded job over the token-pair table): a lazy checkpoint's cache
+    # only serves hits after a partition completes, so the final plan's
+    # two cold references (the union's branches can be scheduled
+    # concurrently) each re-ran the whole ArrowEvalPython chain —
+    # measured 12.5 s → ~6 s for the kernel over 89k pairs from this
+    # one barrier (the round-3 cold-persist race, inside one action).
+    sims = (
+        sims_cheap.union(sims_hard)
+        .filter(F.col("sim") >= theta)
+        .localCheckpoint(eager=False)
+    )
+    sims.count()
 
     # r07 FUSED DIRECTIONS (guide §2.4): both directional scores ride
     # ONE matched-join → best-groupBy → idf-join → num-groupBy chain

@@ -44,23 +44,28 @@ def doc_term_weights(
     over ``tokens`` (e.g. from the un-exploded document table) may pass
     it as a one-row DataFrame with a double column ``n_docs``.
 
-    r07 PLAN SHAPE: ``df`` is a window count over the tf table instead
-    of a separate ``groupBy(term).countDistinct(doc)`` + join — tf is
-    distinct on (doc, term) by construction, so the per-term row count
-    IS the document frequency, and the window reuses tf's rows where
-    the join re-derived the whole scan→explode→aggregate lineage a
-    second time (guide §2.4: two operations keyed the same way share
-    one exchange). One pass over the token table instead of three."""
-    from pyspark.sql import Window
-
+    r07 PLAN SHAPE: tf is computed ONCE (lazy localCheckpoint — one
+    pass over the token table), and ``df`` comes from a vocab-sized
+    ``groupBy(term).count`` over that materialized tf table joined
+    back — tf is distinct on (doc, term) by construction, so the
+    per-term row count IS the document frequency. An earlier window
+    form (``count(*) over (partition by term)``) shared tf's exchange
+    but then SORTED the whole tf table by term — document frequency is
+    heavy-tailed, so the hot terms make that both a skewed sort and a
+    skewed exchange (guide §2.5). The df aggregate is map-side
+    combinable (immune to term skew) and vocabulary-sized, so AQE takes
+    a broadcast join back; no second full-table exchange, no sort. (No
+    forced broadcast hint: a 10^7-term vocabulary should fall back to a
+    shuffle join rather than OOM the driver.)"""
     tf = tokens.groupBy(doc_col, "term").agg(F.count("*").alias("freq"))
     if n_docs is None:
         n_docs = tokens.agg(
             F.countDistinct(doc_col).cast("double").alias("n_docs")
         )
-    w = Window.partitionBy("term")
+    tf = tf.localCheckpoint(eager=False)
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        tf.withColumn("df", F.count("*").over(w))
+        tf.join(dfc, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             doc_col,
