@@ -348,6 +348,13 @@ def minhash_duplicate_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par, F.col(id_col))
+    # (the repartitioned doc table is deliberately NOT checkpointed:
+    # a LogicalRDD reports UnknownPartitioning, so pinning it here
+    # would forfeit the hash-by-doc partitioning the whole sketch
+    # chain's zero-extra-exchange plan rests on — re-measured: the
+    # pinned variant re-shuffles the full token stream. The duplicate
+    # scan+repartition map across the sketch/verify jobs is the
+    # cheaper evil at ~0.1-0.3 s warm.)
     # band keys only — shingle arrays do NOT ride the self-join shuffle.
     # r07: the oph scheme no longer materializes per-doc shingle ARRAYS
     # at all for the sketch — the token-stream kernel
@@ -388,33 +395,26 @@ def minhash_duplicate_pairs(
         .distinct()
     )
     # exact-Jaccard verification over word-shingle SETS, unchanged —
-    # but the arrays are computed only for candidate docs: semi-join
-    # the corpus down to ids seen in >=1 candidate pair first (the
-    # shingle HOFs would otherwise run over every doc in the join
-    # projection). cand_ids is checkpointed: three references below
-    # (two joins + the semi-join id list) must not re-run the
-    # band self-join per branch.
-    cand_ids = cand_ids.localCheckpoint(eager=False)
-    cdocs = (
-        cand_ids.select(F.col("left_doc").alias("cid"))
-        .union(cand_ids.select(F.col("right_doc").alias("cid")))
-        .distinct()
-    )
-    sh_c = (
-        docs.join(cdocs, docs[id_col] == cdocs["cid"], "left_semi")
-        .select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        )
-    )
+    # but the shingle arrays are computed only for CANDIDATE rows: the
+    # texts attach via two joins (AQE broadcasts the candidate side)
+    # and the word_shingles HOFs run in the projection ABOVE the joins,
+    # i.e. once per candidate pair side, never over the whole corpus.
+    # The candidate list is explicitly spread first: AQE coalesces the
+    # byte-light id pairs to ~1 partition, which would run the
+    # interpreted HOF verify single-threaded (guide §2.5 — CPU-heavy,
+    # byte-light stages need explicit width).
+    cand_ids = cand_ids.repartition(par)
     cand = (
         cand_ids.join(
-            sh_c.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
+            docs.select(F.col(id_col).alias("left_doc"), F.col(text_col).alias("_tl")),
             "left_doc",
-        ).join(
-            sh_c.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
+        )
+        .join(
+            docs.select(F.col(id_col).alias("right_doc"), F.col(text_col).alias("_tr")),
             "right_doc",
         )
+        .withColumn("sh_l", word_shingles(F.col("_tl"), shingle_n))
+        .withColumn("sh_r", word_shingles(F.col("_tr"), shingle_n))
     )
     inter = F.size(F.array_intersect("sh_l", "sh_r"))
     union = F.size("sh_l") + F.size("sh_r") - inter
