@@ -2152,6 +2152,11 @@ def _reorder_registry() -> None:
         (k, v) for k, v in REGISTRY.items() if k not in ordered
     )
     assert len(ordered) == len(REGISTRY)
+    # guard the sweep-window invariant this function exists to protect
+    # (ADVICE r6 #1): a registration that would push any row past the
+    # driver's 50-entry window must fail loudly at import, not silently
+    # fall off the sweep
+    assert len(ordered) <= 50, f"registry overflows the 50-entry sweep window: {len(ordered)}"
     REGISTRY = ordered
 
 

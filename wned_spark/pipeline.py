@@ -114,54 +114,6 @@ def run_er_pipeline(
             )
         return d
 
-    # ---- mention extraction + doc-local coref + W8 expansion
-    # (N1/J6/W8). The intermediate boundaries MUST be persisted:
-    # coref self-joins its input (2 references) and abbreviation
-    # expansion references the coref output 3× — composing them
-    # un-cached re-executes the extraction UDF up to 6× through the
-    # self-join branches (measured 134s vs 37s at 2.9M turns). persist
-    # (ckpt=False) breaks the recomputation without the serialized
-    # checkpoint barrier; only the final result is a hub checkpoint
-    # (it feeds surfaces / edges / ctx / eval / clusters). ----
-    m_ex = stage("mentions_extract", lambda: mention_ops.extract_mentions(transcripts),
-                 ckpt=False)
-    m_co = stage("mentions_coref", lambda: mention_ops.resolve_coref(m_ex),
-                 ckpt=False)
-    if cfg.use_abbrev_expansion:
-        # Fill the extraction/coref caches with ONE sequential pass
-        # before the expansion fans out: expand_abbreviations probes
-        # its exact-miss set (an action) whose plan scans m_co three
-        # ways (acr / defs / final join). When the persisted lineage is
-        # still cold, the DAG scheduler runs those scans as CONCURRENT
-        # stages that each recompute the extraction UDF (a persist
-        # cache only serves hits AFTER a partition completes) — on an
-        # 8-executor cluster this tripled the most expensive UDF stage
-        # (measured 143 stage-seconds of probe vs 16 after this count).
-        if catalog is None:
-            m_co.count()
-        # acronyms defined in-conversation resolve to their
-        # definition surface before anything downstream sees them;
-        # parenthetical pattern rows mined from turn text cover long
-        # forms that never appear as standalone mentions (R10,
-        # MentionExpansion.java:961-1066)
-        pattern_defs = (
-            stage(
-                "pattern_defs",
-                lambda: mention_ops.mine_parenthetical_definitions(transcripts),
-                ckpt=False,
-            )
-            if cfg.use_pattern_defs
-            else None
-        )
-        mentions = stage(
-            "mentions",
-            lambda: mention_ops.expand_abbreviations(
-                m_co, cfg.abbrev_threshold, pattern_defs=pattern_defs
-            ),
-        )
-    else:
-        mentions = stage("mentions", lambda: m_co)
-
     # ---- CONCURRENT independent hub chains ----
     # cooccur_edges, the ctx-tfidf weight table, and the alias-dict
     # candidate chain all depend only on already-materialized hubs
@@ -209,6 +161,59 @@ def run_er_pipeline(
 
             fut = _pool.submit(_build)
             return fut.result
+
+        # ---- mention extraction + doc-local coref + W8 expansion
+        # (N1/J6/W8). The intermediate boundaries MUST be persisted:
+        # coref self-joins its input (2 references) and abbreviation
+        # expansion references the coref output 3× — composing them
+        # un-cached re-executes the extraction UDF up to 6× through the
+        # self-join branches (measured 134s vs 37s at 2.9M turns). persist
+        # (ckpt=False) breaks the recomputation without the serialized
+        # checkpoint barrier; only the final result is a hub checkpoint
+        # (it feeds surfaces / edges / ctx / eval / clusters). ----
+        m_ex = stage("mentions_extract", lambda: mention_ops.extract_mentions(transcripts),
+                     ckpt=False)
+        m_co = stage("mentions_coref", lambda: mention_ops.resolve_coref(m_ex),
+                     ckpt=False)
+        if cfg.use_abbrev_expansion:
+            # parenthetical pattern-def mining reads ONLY the raw
+            # transcripts (materialized by the caller), so it rides the
+            # worker pool and overlaps the coref cache fill below (r07
+            # — it previously sat serially on the critical path)
+            pattern_defs_res = (
+                _submit(
+                    "pattern_defs",
+                    lambda: mention_ops.mine_parenthetical_definitions(transcripts),
+                    ckpt=False,
+                )
+                if cfg.use_pattern_defs
+                else None
+            )
+            # Fill the extraction/coref caches with ONE sequential pass
+            # before the expansion fans out: expand_abbreviations probes
+            # its exact-miss set (an action) whose plan scans m_co three
+            # ways (acr / defs / final join). When the persisted lineage is
+            # still cold, the DAG scheduler runs those scans as CONCURRENT
+            # stages that each recompute the extraction UDF (a persist
+            # cache only serves hits AFTER a partition completes) — on an
+            # 8-executor cluster this tripled the most expensive UDF stage
+            # (measured 143 stage-seconds of probe vs 16 after this count).
+            if catalog is None:
+                m_co.count()
+            # acronyms defined in-conversation resolve to their
+            # definition surface before anything downstream sees them;
+            # parenthetical pattern rows mined from turn text cover long
+            # forms that never appear as standalone mentions (R10,
+            # MentionExpansion.java:961-1066)
+            pattern_defs = pattern_defs_res() if pattern_defs_res is not None else None
+            mentions = stage(
+                "mentions",
+                lambda: mention_ops.expand_abbreviations(
+                    m_co, cfg.abbrev_threshold, pattern_defs=pattern_defs
+                ),
+            )
+        else:
+            mentions = stage("mentions", lambda: m_co)
 
         edges_res = None
         if use_signatures:
