@@ -595,3 +595,25 @@ def test_oph_dense_tokens_matches_array_kernel(spark):
             for r in dedup._oph_dense_tokens(docs, "doc_id", "text", k, n).collect()
         }
         assert got == want, (k, n)
+
+
+def test_minhash_oph_stream_scheme_matches_default(spark):
+    """The low-memory 'oph-stream' scheme must produce bit-identical
+    pairs to the default cached-array 'oph' scheme (same OPH bands by
+    the _oph_dense_tokens parity above; same exact-Jaccard verify)."""
+    docs = spark.read.parquet(DOCS)
+    for nh, bs, thr in ((32, 4, 0.2), (64, 1, 0.2)):
+        base = {
+            (r["left_doc"], r["right_doc"]): round(r["jaccard"], 9)
+            for r in dedup.minhash_duplicate_pairs(
+                docs, jaccard_threshold=thr, num_hashes=nh, band_size=bs
+            ).collect()
+        }
+        stream = {
+            (r["left_doc"], r["right_doc"]): round(r["jaccard"], 9)
+            for r in dedup.minhash_duplicate_pairs(
+                docs, jaccard_threshold=thr, num_hashes=nh, band_size=bs,
+                scheme="oph-stream",
+            ).collect()
+        }
+        assert stream == base, (nh, bs)

@@ -336,94 +336,130 @@ def minhash_duplicate_pairs(
     ONE string hash per shingle instead of ``num_hashes``
     (:func:`oph_signature`), a ~``num_hashes``× cut of the dominant
     sketch cost; ``scheme='classic'`` keeps the independent-permutation
-    kernel as the parity/oracle reference. Both verify candidates with
-    EXACT Jaccard, so the schemes differ only in recall/candidate
-    profile, never in reported pair truth."""
+    kernel as the parity/oracle reference; ``scheme='oph-stream'``
+    computes the SAME oph bands from a token stream
+    (:func:`_oph_dense_tokens` — posexplode + lead-window n-grams, one
+    exchange, no per-doc arrays anywhere) with candidate-only verify —
+    bit-identical output (parity-pinned), kept as the LOW-MEMORY
+    variant for corpora of large documents where caching every doc's
+    shingle array is the binding constraint. On this benchmark's
+    ~300-char docs a same-session alternating duel put the cached-array
+    default at 3.3-4.2 s vs 5.4-7.3 s for the stream form at the 10×
+    scale, so the array form stays the default. All schemes verify
+    candidates with EXACT Jaccard, so they differ only in
+    recall/candidate profile (oph ≡ oph-stream even there), never in
+    reported pair truth."""
     # spread the sketch stage across all cores: a small-SF corpus often
     # arrives as ONE parquet file → one task doing every string hash.
     # Repartition the raw docs (text bytes, pre-shingle) by id so the
     # shingle+hash work parallelizes; at cluster scale the input is
     # already many partitions and this becomes a cheap no-op-ish
     # exchange that also balances skewed input files.
+    # (deliberately NOT localCheckpointed: a LogicalRDD reports
+    # UnknownPartitioning, so pinning here would forfeit the
+    # hash-by-doc partitioning the stream kernel's no-extra-exchange
+    # plan rests on — re-measured: the pinned variant re-shuffles the
+    # full token stream.)
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par, F.col(id_col))
-    # (the repartitioned doc table is deliberately NOT checkpointed:
-    # a LogicalRDD reports UnknownPartitioning, so pinning it here
-    # would forfeit the hash-by-doc partitioning the whole sketch
-    # chain's zero-extra-exchange plan rests on — re-measured: the
-    # pinned variant re-shuffles the full token stream. The duplicate
-    # scan+repartition map across the sketch/verify jobs is the
-    # cheaper evil at ~0.1-0.3 s warm.)
-    # band keys only — shingle arrays do NOT ride the self-join shuffle.
-    # r07: the oph scheme no longer materializes per-doc shingle ARRAYS
-    # at all for the sketch — the token-stream kernel
-    # (:func:`_oph_dense_tokens`) computes the same dense grid with one
-    # exchange and no interpreted array lambdas; arrays are built only
-    # for the docs that appear in a candidate pair (semi-join below),
-    # which is O(candidates), not O(corpus).
-    if scheme == "oph":
+
+    if scheme == "oph-stream":
         sig = _bands_from_dense(
             _oph_dense_tokens(docs, id_col, text_col, num_hashes, shingle_n),
             num_hashes,
             band_size,
+        ).localCheckpoint(eager=False)
+        a, b = sig.alias("a"), sig.alias("b")
+        cand_ids = (
+            a.join(b, "band")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("left_doc"),
+                F.col("b.doc").alias("right_doc"),
+            )
+            .distinct()
+            # spread: AQE coalesces the byte-light pair list to ~1
+            # partition, which would run the interpreted HOF verify
+            # single-threaded (guide §2.5)
+            .repartition(par)
         )
-    else:
-        sig = docs.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        ).select(
-            "doc",
-            F.explode(
-                minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
-            ).alias("band"),
+        cand = (
+            cand_ids.join(
+                docs.select(F.col(id_col).alias("left_doc"), F.col(text_col).alias("_tl")),
+                "left_doc",
+            )
+            .join(
+                docs.select(F.col(id_col).alias("right_doc"), F.col(text_col).alias("_tr")),
+                "right_doc",
+            )
+            .withColumn("sh_l", word_shingles(F.col("_tl"), shingle_n))
+            .withColumn("sh_r", word_shingles(F.col("_tr"), shingle_n))
         )
-    # materialize the (doc, band) keys ONCE before the self-join
-    # (r07, guide §2.4): both join branches of an unmaterialized
-    # frame re-derive its whole lineage, so the sketch chain
-    # (explode → hash → bin-min → densify windows → band groupBy)
-    # ran twice per call; the key table is two longs per row
-    sig = sig.localCheckpoint(eager=False)
-    a, b = sig.alias("a"), sig.alias("b")
-    cand_ids = (
-        a.join(b, "band")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("left_doc"),
-            F.col("b.doc").alias("right_doc"),
+        inter = F.size(F.array_intersect("sh_l", "sh_r"))
+        union = F.size("sh_l") + F.size("sh_r") - inter
+        return (
+            cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("left_doc", "right_doc", "jaccard")
         )
-        .distinct()
+
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
-    # exact-Jaccard verification over word-shingle SETS, unchanged —
-    # but the shingle arrays are computed only for CANDIDATE rows: the
-    # texts attach via two joins (AQE broadcasts the candidate side)
-    # and the word_shingles HOFs run in the projection ABOVE the joins,
-    # i.e. once per candidate pair side, never over the whole corpus.
-    # The candidate list is explicitly spread first: AQE coalesces the
-    # byte-light id pairs to ~1 partition, which would run the
-    # interpreted HOF verify single-threaded (guide §2.5 — CPU-heavy,
-    # byte-light stages need explicit width).
-    cand_ids = cand_ids.repartition(par)
-    cand = (
-        cand_ids.join(
-            docs.select(F.col(id_col).alias("left_doc"), F.col(text_col).alias("_tl")),
-            "left_doc",
+    sh = sh.persist()
+    try:
+        # band keys only — the (possibly large) shingle arrays do NOT ride
+        # the self-join shuffle; they join back per DISTINCT candidate pair
+        if scheme == "oph":
+            sig = _oph_bands(sh, num_hashes, band_size)
+        else:
+            sig = sh.select(
+                "doc",
+                F.explode(
+                    minhash_band_keys_direct(F.col("shingles"), num_hashes, band_size)
+                ).alias("band"),
+            )
+        # materialize the (doc, band) keys ONCE before the self-join
+        # (r07, guide §2.4): both join branches of an unmaterialized
+        # frame re-derive its whole lineage, so the sketch chain
+        # (explode → hash → bin-min → densify windows → band groupBy)
+        # ran twice per call; the key table is two longs per row
+        sig = sig.localCheckpoint(eager=False)
+        a, b = sig.alias("a"), sig.alias("b")
+        cand_ids = (
+            a.join(b, "band")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("left_doc"),
+                F.col("b.doc").alias("right_doc"),
+            )
+            .distinct()
         )
-        .join(
-            docs.select(F.col(id_col).alias("right_doc"), F.col(text_col).alias("_tr")),
-            "right_doc",
+        cand = (
+            cand_ids.join(
+                sh.select(F.col("doc").alias("left_doc"), F.col("shingles").alias("sh_l")),
+                "left_doc",
+            ).join(
+                sh.select(F.col("doc").alias("right_doc"), F.col("shingles").alias("sh_r")),
+                "right_doc",
+            )
         )
-        .withColumn("sh_l", word_shingles(F.col("_tl"), shingle_n))
-        .withColumn("sh_r", word_shingles(F.col("_tr"), shingle_n))
-    )
-    inter = F.size(F.array_intersect("sh_l", "sh_r"))
-    union = F.size("sh_l") + F.size("sh_r") - inter
-    out = (
-        cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("left_doc", "right_doc", "jaccard")
-    )
-    return out
+        inter = F.size(F.array_intersect("sh_l", "sh_r"))
+        union = F.size("sh_l") + F.size("sh_r") - inter
+        out = (
+            cand.withColumn("jaccard", F.when(union == 0, 1.0).otherwise(inter / union))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("left_doc", "right_doc", "jaccard")
+        )
+        # materialize the verified pair list (O(duplicates), no arrays)
+        # so the cached shingle table never outlives the call
+        out = out.localCheckpoint(eager=False)
+        out.count()
+        return out
+    finally:
+        sh.unpersist()
 
 
 def simhash(col, num_bits: int = 64):
