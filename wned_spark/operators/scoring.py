@@ -79,9 +79,21 @@ def string_features(surface_pairs: DataFrame, cfg: ERConfig = ERConfig()) -> Dat
     mirroring the reference, which scores fuzzy candidates only after
     the candidate-selection prune (CSUtils.java:53-78)."""
     n = cfg.shingle_size
-    surface_pairs = surface_pairs.repartition(
-        2 * surface_pairs.sparkSession.sparkContext.defaultParallelism
+    # work-adaptive width, same rationale as the SoftTFIDF JW stage:
+    # ~12 ms of ArrowEvalPython round-trip per task vs ~7 µs of JW per
+    # row — a fixed 2×cores width costs more boundary overhead than
+    # the whole kernel on a few-thousand-row survivor set, while the
+    # cap keeps dictionary-scale inputs cluster-wide
+    surface_pairs = surface_pairs.localCheckpoint(eager=False)
+    n_rows = surface_pairs.count()
+    width = max(
+        1,
+        min(
+            2 * surface_pairs.sparkSession.sparkContext.defaultParallelism,
+            -(-n_rows // 50_000),
+        ),
     )
+    surface_pairs = surface_pairs.repartition(width)
     return surface_pairs.select(
         "left_norm",
         "right_norm",
@@ -256,9 +268,6 @@ def soft_tfidf_scores(
                 >= ratio_min * F.greatest(F.length("tok_a"), F.length("tok_b"))
             )
         )
-    tpairs = tpairs.distinct().repartition(
-        2 * sp.sparkSession.sparkContext.defaultParallelism
-    )
     # r07 PYTHON-BOUNDARY CUT (guide §4.1): a Python UDF inside a CASE
     # branch is extracted into an ArrowEvalPython projection that runs
     # on EVERY row — the old when/otherwise paid the JW boundary for the
@@ -266,9 +275,20 @@ def soft_tfidf_scores(
     # (single-letter first-letter rule, and equal tokens where
     # JW(x,x) == 1.0 identically — the Zipf-head diagonal) stay in
     # codegen, and only genuinely-hard pairs cross into Python. The
-    # checkpoint pins the distinct+repartition output so the two
-    # branches share it instead of re-deriving the exchange.
-    tpairs = tpairs.localCheckpoint(eager=False)
+    # checkpoint pins the distinct output so the branches share it
+    # instead of re-deriving the exchange.
+    tpairs = tpairs.distinct().localCheckpoint(eager=False)
+    # WORK-ADAPTIVE width for the JW stage (guide §2.2/§2.5): the JW
+    # kernel is ~7 µs per pair while every extra ArrowEvalPython task
+    # costs ~12 ms of Python-boundary round-trip (measured: the same
+    # 89k pairs take 0.44 s in 8 tasks and 1.83 s in 128) — so size
+    # the stage by rows of work per task (~50k ≈ 0.4 s of kernel each),
+    # capped at 2× core count so a dictionary-scale pair set still
+    # uses the whole cluster. The count is a bounded job over the
+    # checkpointed id-pair table and doubles as its materialization.
+    n_tp = tpairs.count()
+    width = max(1, min(2 * sp.sparkSession.sparkContext.defaultParallelism,
+                       -(-n_tp // 50_000)))
     one_letter = (F.length("tok_a") == 1) | (F.length("tok_b") == 1)
     cheap_case = one_letter | (F.col("tok_a") == F.col("tok_b"))
     sims_cheap = tpairs.filter(cheap_case).select(
@@ -281,7 +301,7 @@ def soft_tfidf_scores(
         .otherwise(F.lit(1.0))
         .alias("sim"),
     )
-    sims_hard = tpairs.filter(~cheap_case).select(
+    sims_hard = tpairs.filter(~cheap_case).repartition(width).select(
         "tok_a",
         "tok_b",
         jaro_winkler_udf(F.col("tok_a"), F.col("tok_b")).alias("sim"),
