@@ -144,7 +144,17 @@ def a4_tfidf(spark, sf_dir):
     from wned_spark.operators.tfidf import doc_term_weights, tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize(docs.withColumnRenamed("doc_id", "doc"), "text", ["doc"])
+    # r07: repartition the RAW docs by id before tokenizing — the tf
+    # groupBy(doc, term) is then already clustered by a subset of its
+    # keys, so the 2.3M-row exploded token table never crosses an
+    # exchange (the 15 MB text column does, once); measured 2.8 → 0.9 s
+    # at the 10× scale (guide §2.3: shuffle the lightest surface).
+    par = spark.sparkContext.defaultParallelism
+    toks = tokenize(
+        docs.withColumnRenamed("doc_id", "doc").repartition(par, F.col("doc")),
+        "text",
+        ["doc"],
+    )
     # N from the un-exploded documents table (guide §2.3 — aggregate the
     # cheapest surface): a doc contributes >=1 token iff its lowered
     # text contains a [a-z0-9] char, and doc_id is unique, so this one
